@@ -1,0 +1,210 @@
+"""Core ViT layers (flax.linen), TPU-first.
+
+Functional re-implementations of the reference's in-repo layer definitions
+(/root/reference/vit_models/dynamic_vit.py:159-306). Differences by design:
+
+- images are NHWC (TPU conv layout), not NCHW
+- attention accepts an optional (B, N) keep `policy`; when given, the softmax
+  uses the masked semantics of `ops.softmax_with_policy` — this is the
+  static-shape pruning path
+- computation dtype is configurable (bfloat16 on TPU); softmax and layer norms
+  accumulate in float32
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dense2sparse_vit_tpu.ops.masked_softmax import softmax_with_policy
+
+Dtype = Any
+
+# DeiT/timm init: trunc_normal(std=.02) for linear kernels, zeros for biases
+# (reference dynamic_vit.py:794-801)
+trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
+
+
+class Mlp(nn.Module):
+    """Transformer MLP: fc1 -> act -> drop -> fc2 -> drop.
+
+    Parity: reference Mlp (dynamic_vit.py:159-175).
+    """
+
+    hidden_features: int
+    out_features: Optional[int] = None
+    drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        out_features = self.out_features or x.shape[-1]
+        x = nn.Dense(
+            self.hidden_features, dtype=self.dtype,
+            kernel_init=trunc_normal_init, name="fc1",
+        )(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = nn.Dense(
+            out_features, dtype=self.dtype,
+            kernel_init=trunc_normal_init, name="fc2",
+        )(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with optional keep-policy masking.
+
+    Parity: reference Attention (dynamic_vit.py:179-236), including
+    `softmax_with_policy` and the `return_cls_attn` hook that exposes the CLS
+    row of the attention matrix, (B, H, N).
+    """
+
+    num_heads: int
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        policy: Optional[jnp.ndarray] = None,
+        *,
+        return_cls_attn: bool = False,
+        deterministic: bool = True,
+    ):
+        B, N, C = x.shape
+        head_dim = C // self.num_heads
+        scale = self.qk_scale or head_dim**-0.5
+
+        qkv = nn.Dense(
+            C * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+            kernel_init=trunc_normal_init, name="qkv",
+        )(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+
+        attn = jnp.einsum(
+            "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        if policy is None:
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+        else:
+            attn = softmax_with_policy(attn, policy)
+        attn = attn.astype(self.dtype)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        out = nn.Dense(
+            C, dtype=self.dtype, kernel_init=trunc_normal_init, name="proj"
+        )(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        if return_cls_attn:
+            return out, attn[:, :, 0, :]
+        return out
+
+
+class DropPath(nn.Module):
+    """Stochastic depth: drop the residual branch per sample."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class Block(nn.Module):
+    """Pre-norm transformer encoder block.
+
+    Parity: reference Block (dynamic_vit.py:240-283) — norm1 -> attn ->
+    residual(+droppath) -> norm2 -> mlp -> residual, with policy/cls-attn
+    passthrough.
+    """
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    layer_norm_eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        policy: Optional[jnp.ndarray] = None,
+        *,
+        return_cls_attn: bool = False,
+        deterministic: bool = True,
+    ):
+        C = x.shape[-1]
+        y = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm1")(x)
+        y = Attention(
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale,
+            attn_drop=self.attn_drop,
+            proj_drop=self.drop,
+            dtype=self.dtype,
+            name="attn",
+        )(y, policy, return_cls_attn=return_cls_attn, deterministic=deterministic)
+        cls_attn = None
+        if return_cls_attn:
+            y, cls_attn = y
+        dp = DropPath(self.drop_path, name="drop_path")
+        x = x + dp(y, deterministic=deterministic)
+        y = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm2")(x)
+        y = Mlp(
+            hidden_features=int(C * self.mlp_ratio),
+            drop=self.drop,
+            dtype=self.dtype,
+            name="mlp",
+        )(y, deterministic=deterministic)
+        x = x + dp(y, deterministic=deterministic)
+        if return_cls_attn:
+            return x, cls_attn
+        return x
+
+
+class PatchEmbed(nn.Module):
+    """Image-to-patch embedding via strided conv.
+
+    Parity: reference PatchEmbed (dynamic_vit.py:286-306); NHWC layout.
+    """
+
+    patch_size: int = 16
+    embed_dim: int = 768
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        p = self.patch_size
+        x = nn.Conv(
+            self.embed_dim,
+            kernel_size=(p, p),
+            strides=(p, p),
+            padding="VALID",
+            dtype=self.dtype,
+            kernel_init=trunc_normal_init,
+            name="proj",
+        )(x)
+        return x.reshape(B, (H // p) * (W // p), self.embed_dim)
