@@ -1,0 +1,102 @@
+"""Benchmark: pruned-student inference throughput vs dense ViT, per chip.
+
+Prints ONE JSON line:
+  {"metric": "images/sec/chip (DeiT-S, keep 0.7@3/6/9, 224px, bf16)",
+   "value": <pruned img/s>, "unit": "images/sec/chip",
+   "vs_baseline": <pruned / dense speedup>}
+
+Timing method: the axon relay's block_until_ready does not actually block, so
+each measurement chains ITERS forwards inside one jit via lax.scan (each
+iteration data-depends on the previous) and forces a scalar host readback.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BATCH = 256
+ITERS = 10
+REPEATS = 3
+
+
+def chained(apply_fn, iters=ITERS):
+    @jax.jit
+    def run(params, x):
+        def body(carry, _):
+            out = apply_fn(params, x * (1.0 + 1e-6 * carry))
+            return jnp.mean(out).astype(jnp.bfloat16), None
+
+        final, _ = jax.lax.scan(body, jnp.bfloat16(0.0), None, length=iters)
+        return final
+
+    return run
+
+
+def time_fn(run, params, x):
+    float(run(params, x))  # compile + warm
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.time()
+        float(run(params, x))
+        best = min(best, time.time() - t0)
+    return best / ITERS
+
+
+def main():
+    from dense2sparse_vit_tpu.models import create_model
+
+    student = create_model(
+        "dynamic_vit_small_patch16_224_student",
+        pruning_locs=(3, 6, 9),
+        keep_ratios=(0.7, 0.49, 0.343),
+        dtype="bfloat16",
+    )
+    teacher = create_model(
+        "dynamic_vit_small_patch16_224_teacher", dtype="bfloat16"
+    )
+
+    images = jax.random.normal(
+        jax.random.PRNGKey(0), (BATCH, 224, 224, 3), jnp.bfloat16
+    )
+    sp = student.init(jax.random.PRNGKey(1), images[:1])
+    tp = teacher.init(jax.random.PRNGKey(2), images[:1])
+
+    run_pruned = chained(
+        lambda p, x: student.apply(p, x, collect_cls_attns=False).logits
+    )
+    run_dense = chained(lambda p, x: teacher.apply(p, x)[0])
+
+    t_pruned = time_fn(run_pruned, sp, images)
+    t_dense = time_fn(run_dense, tp, images)
+
+    pruned_ips = BATCH / t_pruned
+    dense_ips = BATCH / t_dense
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "images/sec/chip (DeiT-S diff-pruning student, "
+                    "keep 0.7/0.49/0.343 @ layers 3/6/9, 224px, bf16)"
+                ),
+                "value": round(pruned_ips, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(pruned_ips / dense_ips, 3),
+                "extra": {
+                    "dense_images_per_sec": round(dense_ips, 1),
+                    "batch": BATCH,
+                    "pruned_ms_per_batch": round(t_pruned * 1e3, 2),
+                    "dense_ms_per_batch": round(t_dense * 1e3, 2),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    main()

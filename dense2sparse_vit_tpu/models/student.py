@@ -77,6 +77,7 @@ class DiffPruningStudent(nn.Module):
         deterministic: bool = True,
         teacher_cls_attns: Optional[jnp.ndarray] = None,
         unpruned: bool = False,
+        collect_cls_attns: bool = True,
     ) -> StudentOutput:
         """Forward with pruning stages.
 
@@ -89,7 +90,12 @@ class DiffPruningStudent(nn.Module):
           unpruned: skip all pruning stages (the reference's intent with
             `model.unpruned`, evaluate.py:36-40 — which its forward never
             actually read; we implement the intent).
+          collect_cls_attns: capture per-layer CLS attention rows (needed for
+            training losses/visualization and 'attn' selection). Disable on
+            the inference hot path: it lets XLA avoid materializing the full
+            (B, H, N, N) attention probabilities for non-pruning layers.
         """
+        collect = collect_cls_attns or self.pruning.selection == "attn"
         cfg, pr = self.cfg, self.pruning
         dtype = jnp.dtype(cfg.dtype)
         B = x.shape[0]
@@ -182,21 +188,26 @@ class DiffPruningStudent(nn.Module):
                         [jnp.zeros((B, 1), kept.dtype), kept + 1], axis=1
                     )
                     x = gather_tokens(x, idx_full)
-                    x, cls_attn = blk(
-                        x, return_cls_attn=True, deterministic=deterministic
-                    )
-                    last_cls_attn = cls_attn
-                    cls_attns.append(cls_attn[:, :, 1:])
+                    if collect:
+                        x, cls_attn = blk(
+                            x, return_cls_attn=True, deterministic=deterministic
+                        )
+                        last_cls_attn = cls_attn
+                        cls_attns.append(cls_attn[:, :, 1:])
+                    else:
+                        x = blk(x, deterministic=deterministic)
                 p += 1
             else:
                 if keep_mask_full is not None:
                     x = blk(x, policy=keep_mask_full, deterministic=deterministic)
-                else:
+                elif collect:
                     x, cls_attn = blk(
                         x, return_cls_attn=True, deterministic=deterministic
                     )
                     last_cls_attn = cls_attn
                     cls_attns.append(cls_attn[:, :, 1:])
+                else:
+                    x = blk(x, deterministic=deterministic)
                 if is_pruning_layer:
                     p += 1  # unpruned pass still walks past the stage
 

@@ -36,16 +36,16 @@ class _NormAct(nn.Module):
     def __call__(self, x, *, use_running_average: bool = True):
         if self.use_bn:
             # reference BatchNormLayer (dynamic_vit.py:350-367) normalizes the
-            # channel dim across batch AND token axes (BatchNorm1d over
-            # transposed (B, D, N)); flax BatchNorm with axis_name for
-            # cross-device stat sync under SPMD (the reference never ran its
-            # BN predictor under DDP — we fix that gap).
+            # channel dim across batch AND token axes. Under jit+GSPMD the
+            # batch statistics are computed over the global (sharded) batch
+            # automatically — XLA inserts the collectives, giving synced BN
+            # across devices for free (the reference never ran its BN
+            # predictor under DDP at all).
             x = nn.BatchNorm(
                 use_running_average=use_running_average,
                 momentum=0.9,
                 epsilon=1e-5,
                 dtype=self.dtype,
-                axis_name="data" if not use_running_average else None,
                 name="norm",
             )(x)
         else:
@@ -111,7 +111,6 @@ class PredictorLG(nn.Module):
                 momentum=0.9,
                 epsilon=1e-5,
                 dtype=self.dtype,
-                axis_name="data" if not use_running_average else None,
                 name="final_norm",
             )(x)
         else:

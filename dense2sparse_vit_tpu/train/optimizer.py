@@ -1,0 +1,90 @@
+"""Parameter grouping + AdamW optimizer with per-group schedules.
+
+Parity: reference `get_param_groups` (/root/reference/utils.py:67-90) and the
+per-epoch lr assignment of `adjust_learning_rate` (utils.py:93-147), rebuilt
+as an optax multi_transform so the whole schedule lives inside the jitted
+update (no Python-side requires_grad mutation).
+
+Groups (utils.py:73-90):
+  predictor     — any param under a score-predictor / 'dist' module
+  early_exit    — early-exit head params
+  frozen        — cls_token, pos_embed (reference skips them entirely)
+  base_no_decay — 1-D params and biases, weight decay 0
+  base_decay    — everything else, weight decay cfg.weight_decay
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import optax
+
+from dense2sparse_vit_tpu.core.config import TrainConfig
+from dense2sparse_vit_tpu.train import schedule as sched
+
+
+def _path_str(path) -> str:
+    return "/".join(
+        str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+    ).lower()
+
+
+def label_params(params) -> Any:
+    """Pytree of group labels, mirroring get_param_groups (utils.py:67-90)."""
+
+    def label(path, leaf):
+        p = _path_str(path)
+        if "cls_token" in p or "pos_embed" in p:
+            return "frozen"
+        if "early_exit" in p:
+            return "early_exit"
+        if "score_predictor" in p or "dist" in p:
+            return "predictor"
+        if leaf.ndim <= 1 or p.endswith("bias"):
+            return "base_no_decay"
+        return "base_decay"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_optimizer(
+    cfg: TrainConfig, steps_per_epoch: int
+) -> optax.GradientTransformation:
+    """AdamW (mask_predictor.py:232) with per-group cosine schedules.
+
+    Schedules are functions of the optax step count; the reference adjusts lr
+    once per epoch, so we floor step/steps_per_epoch to the epoch index.
+    """
+
+    def epoch_of(count):
+        return count // steps_per_epoch
+
+    def pred_sched(count):
+        return sched.predictor_lr(epoch_of(count), cfg)
+
+    def backbone_sched(count):
+        return sched.backbone_lr(epoch_of(count), cfg)
+
+    def adamw(lr_fn: Callable, wd: float):
+        return optax.adamw(
+            learning_rate=lr_fn,
+            b1=0.9,
+            b2=0.999,
+            eps=1e-8,
+            weight_decay=wd,
+        )
+
+    return optax.multi_transform(
+        {
+            "predictor": adamw(pred_sched, cfg.weight_decay),
+            # reference's early-exit lr is defective dead code (utils.py:133
+            # references a variable defined only in comments); intent per the
+            # comment block is a predictor-style schedule
+            "early_exit": adamw(pred_sched, cfg.weight_decay),
+            "base_decay": adamw(backbone_sched, cfg.weight_decay),
+            "base_no_decay": adamw(backbone_sched, 0.0),
+            "frozen": optax.set_to_zero(),
+        },
+        label_params,
+    )

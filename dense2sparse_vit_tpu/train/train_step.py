@@ -1,0 +1,218 @@
+"""Jitted train/eval steps.
+
+Replaces the reference's per-batch Python loop bodies
+(/root/reference/train.py:9-84, evaluate.py:8-85) with pure, jittable step
+functions:
+
+  * teacher forward -> student forward -> MaskLoss + BackboneLoss ->
+    grad -> AdamW update, all inside one jit; optimizer state donated
+  * the warmup gate (mask-loss-only for the first warmup epochs,
+    train.py:50-53) is a traced multiplier, and backbone updates stay frozen
+    through the per-group lr schedule (optimizer.py)
+  * SPMD: callers jit these with a Mesh; the batch is sharded over 'data',
+    params replicated — XLA inserts all collectives (no DDP/NCCL code)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from dense2sparse_vit_tpu.core.config import ExperimentConfig
+from dense2sparse_vit_tpu.losses import backbone_loss, mask_loss
+from dense2sparse_vit_tpu.losses.backbone_loss import cross_entropy
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    batch_stats: Any  # empty dict unless the BN predictor is used
+
+
+def create_train_state(
+    student, tx: optax.GradientTransformation, rng, sample_images
+) -> TrainState:
+    """Initialize student params + optimizer state."""
+    variables = student.init(
+        {"params": rng, "selection": jax.random.fold_in(rng, 1)},
+        sample_images,
+        deterministic=True,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        batch_stats=batch_stats,
+    )
+
+
+def make_train_step(
+    student,
+    teacher,
+    tx: optax.GradientTransformation,
+    cfg: ExperimentConfig,
+    mixup_active: bool = False,
+) -> Callable:
+    """Build the jittable train step.
+
+    Signature of the returned fn:
+      (state, teacher_params, images, labels, rng, epoch) -> (state, metrics)
+
+    `epoch` is a traced scalar driving the warmup gate; lr schedules read the
+    step counter inside the optimizer.
+    """
+    pr = cfg.pruning
+    tr = cfg.train
+
+    def loss_fn(params, batch_stats, teacher_params, images, labels, rng, epoch):
+        t_logits, t_tokens, t_attns = teacher.apply(
+            {"params": teacher_params}, images, deterministic=True
+        )
+        t_logits = jax.lax.stop_gradient(t_logits)
+        t_tokens = jax.lax.stop_gradient(t_tokens)
+
+        variables = {"params": params}
+        has_bn = bool(batch_stats)
+        if has_bn:
+            variables["batch_stats"] = batch_stats
+        rngs = {
+            "dropout": jax.random.fold_in(rng, 0),
+            "selection": jax.random.fold_in(rng, 1),
+        }
+        kwargs = dict(deterministic=False)
+        if pr.cls_from_teacher:
+            kwargs["teacher_cls_attns"] = t_attns
+        if has_bn:
+            out, new_model_state = student.apply(
+                variables, images, rngs=rngs, mutable=["batch_stats"], **kwargs
+            )
+            new_stats = new_model_state["batch_stats"]
+        else:
+            out = student.apply(variables, images, rngs=rngs, **kwargs)
+            new_stats = batch_stats
+
+        m_loss, m_metrics = mask_loss(
+            out.pred_logits,
+            t_attns,
+            out.kept_idx,
+            pr.keep_ratios,
+            loss_type=pr.mask_loss_type,
+            mean_heads=pr.mean_heads,
+        )
+        b_loss, b_metrics = backbone_loss(
+            out.logits,
+            out.features,
+            t_logits,
+            t_tokens,
+            labels,
+            kept_idx_orig=out.kept_idx_orig,
+            keep_mask=out.keep_mask,
+            mixup_active=mixup_active,
+        )
+        # warmup gate: mask loss only for the first warmup epochs
+        # (train.py:50-53)
+        backbone_active = (epoch >= tr.warmup_epochs).astype(jnp.float32)
+        loss = m_loss + backbone_active * b_loss
+        if pr.early_exit and out.early_exit_logits is not None:
+            if mixup_active:
+                from dense2sparse_vit_tpu.losses.backbone_loss import (
+                    soft_target_cross_entropy,
+                )
+
+                ee = soft_target_cross_entropy(
+                    out.early_exit_logits.astype(jnp.float32), labels
+                )
+            else:
+                ee = cross_entropy(
+                    out.early_exit_logits.astype(jnp.float32), labels
+                )
+            loss = loss + ee
+            m_metrics = {**m_metrics, "early_exit_loss": ee}
+        metrics = {**m_metrics, **b_metrics, "loss": loss}
+        return loss, (metrics, new_stats)
+
+    def train_step(state, teacher_params, images, labels, rng, epoch):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (metrics, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, teacher_params, images, labels,
+            rng, epoch,
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(
+                step=state.step + 1,
+                params=new_params,
+                opt_state=new_opt_state,
+                batch_stats=new_stats,
+            ),
+            metrics,
+        )
+
+    return train_step
+
+
+def make_eval_step(student, teacher, cfg: ExperimentConfig) -> Callable:
+    """Build the jittable eval step.
+
+    Parity: evaluate_performance (evaluate.py:8-85): pruned forward, unpruned
+    forward of the same student (the reference toggles `model.unpruned` which
+    its forward ignores — we implement the intent), mask loss + CE + top-1.
+
+    Returns (state-free): (params, batch_stats, teacher_params, images,
+    labels) -> metrics.
+    """
+    pr = cfg.pruning
+
+    def eval_step(params, batch_stats, teacher_params, images, labels):
+        t_logits, t_tokens, t_attns = teacher.apply(
+            {"params": teacher_params}, images, deterministic=True
+        )
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        kwargs = dict(deterministic=True)
+        if pr.cls_from_teacher:
+            kwargs["teacher_cls_attns"] = t_attns
+        if pr.selection == "random":
+            kwargs["rngs"] = {"selection": jax.random.PRNGKey(0)}
+        out = student.apply(variables, images, **kwargs)
+        out_unpruned = student.apply(variables, images, unpruned=True, **kwargs)
+
+        m_loss, m_metrics = mask_loss(
+            out.pred_logits,
+            t_attns,
+            out.kept_idx,
+            pr.keep_ratios,
+            loss_type=pr.mask_loss_type,
+            mean_heads=pr.mean_heads,
+        )
+        ce = cross_entropy(out.logits.astype(jnp.float32), labels)
+        acc = jnp.mean(jnp.argmax(out.logits, -1) == labels)
+        acc_unpruned = jnp.mean(jnp.argmax(out_unpruned.logits, -1) == labels)
+        acc_teacher = jnp.mean(jnp.argmax(t_logits, -1) == labels)
+        metrics = {
+            **{f"val_{k}": v for k, v in m_metrics.items()},
+            "val_loss": m_loss + ce,
+            "val_cls_loss": ce,
+            "val_acc": acc,
+            "unpruned_acc": acc_unpruned,
+            "teacher_acc": acc_teacher,
+        }
+        if out.keep_ratios is not None:
+            # threshold mode keep-ratio stats (evaluate.py:53-63)
+            metrics["min_keep_ratio"] = jnp.min(out.keep_ratios)
+            metrics["avg_keep_ratio"] = jnp.mean(out.keep_ratios)
+            metrics["max_keep_ratio"] = jnp.max(out.keep_ratios)
+        return metrics
+
+    return eval_step

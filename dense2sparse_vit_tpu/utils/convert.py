@@ -1,0 +1,195 @@
+"""PyTorch -> flax checkpoint conversion for DeiT-family ViT weights.
+
+The reference loads published DeiT/DINO checkpoints from torch hub
+(/root/reference/vit_models/dynamic_vit.py:1221,1253,1304) with a filter that
+reshapes legacy patch-embed weights and resizes position embeddings
+(dynamic_vit.py:1198-1213). This module is the JAX equivalent: it maps a
+torch state_dict (numpy arrays) onto the parameter pytrees of ViTTeacher /
+DiffPruningStudent.
+
+Layout conversions:
+  conv kernels   (O, I, kH, kW) -> (kH, kW, I, O)
+  dense kernels  (out, in)      -> (in, out)
+  LayerNorm      weight/bias    -> scale/bias
+  blocks.N.*     -> blocks_N.*
+Missing target entries (score predictor, early-exit head) keep their
+initialized values, mirroring the reference's strict=False load
+(dynamic_vit.py:1239).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Tuple
+
+import numpy as np
+
+
+def resize_pos_embed(posemb: np.ndarray, n_tokens_new: int) -> np.ndarray:
+    """Bilinearly resize the (1, N_old+1, D) grid to (1, n_tokens_new, D).
+
+    Parity: reference resize_pos_embed (dynamic_vit.py:1178-1195) — the CLS
+    slot passes through, the spatial grid is resized as a 2D image.
+    """
+    tok, grid = posemb[:, :1], posemb[0, 1:]
+    gs_old = int(round(np.sqrt(grid.shape[0])))
+    gs_new = int(round(np.sqrt(n_tokens_new - 1)))
+    if gs_old == gs_new:
+        return posemb
+    D = grid.shape[-1]
+    grid = grid.reshape(gs_old, gs_old, D)
+    # bilinear resize with align_corners=False (torch F.interpolate default)
+    out = np.empty((gs_new, gs_new, D), grid.dtype)
+    scale = gs_old / gs_new
+    coords = (np.arange(gs_new) + 0.5) * scale - 0.5
+    c0 = np.clip(np.floor(coords).astype(int), 0, gs_old - 1)
+    c1 = np.clip(c0 + 1, 0, gs_old - 1)
+    w1 = np.clip(coords - c0, 0.0, 1.0)
+    w0 = 1.0 - w1
+    tmp = (
+        grid[c0] * w0[:, None, None] + grid[c1] * w1[:, None, None]
+    )  # rows resized: (gs_new, gs_old, D)
+    out = (
+        tmp[:, c0] * w0[None, :, None] + tmp[:, c1] * w1[None, :, None]
+    )
+    return np.concatenate([tok, out.reshape(1, gs_new * gs_new, D)], axis=1)
+
+
+def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray, strict: bool):
+    node = tree
+    for k in path[:-1]:
+        if k not in node:
+            if strict:
+                raise KeyError(f"missing {'/'.join(path)} in target params")
+            return False
+        node = node[k]
+    leaf = path[-1]
+    if leaf not in node:
+        if strict:
+            raise KeyError(f"missing {'/'.join(path)} in target params")
+        return False
+    if node[leaf].shape != value.shape:
+        raise ValueError(
+            f"shape mismatch at {'/'.join(path)}: "
+            f"target {node[leaf].shape} vs checkpoint {value.shape}"
+        )
+    node[leaf] = value.astype(np.asarray(node[leaf]).dtype)
+    return True
+
+
+def convert_deit_state_dict(
+    state_dict: Mapping[str, np.ndarray],
+    params,
+    strict: bool = False,
+) -> Tuple[Dict, list, list]:
+    """Map a DeiT torch state_dict onto a params pytree.
+
+    Args:
+      state_dict: torch key -> numpy array (call .numpy() on tensors first;
+        a top-level 'model' wrapper dict is also accepted).
+      params: target flax params dict (from module.init); not mutated.
+      strict: raise on checkpoint keys the target has no slot for.
+
+    Returns:
+      (new_params, loaded_keys, skipped_keys).
+    """
+    import copy
+
+    if "model" in state_dict and not hasattr(
+        state_dict["model"], "shape"
+    ):  # nested {'model': {...}} wrapper used by DeiT releases
+        state_dict = state_dict["model"]
+
+    out = copy.deepcopy(
+        {k: np.asarray(v) for k, v in _to_plain_dict(params).items()}
+    )
+    out = copy.deepcopy(_unflatten(out))
+
+    loaded, skipped = [], []
+    n_tokens = None
+    pe = _get(out, ("pos_embed",))
+    if pe is not None:
+        n_tokens = pe.shape[1]
+
+    for key, v in state_dict.items():
+        v = np.asarray(v)
+        path = _map_key(key, v)
+        if path is None:
+            skipped.append(key)
+            continue
+        if key == "pos_embed" and n_tokens is not None and v.shape[1] != n_tokens:
+            v = resize_pos_embed(v, n_tokens)
+        if key.endswith("patch_embed.proj.weight"):
+            if v.ndim < 4:
+                # legacy linear patchify -> conv reshape
+                # (checkpoint_filter_fn, dynamic_vit.py:1205-1208)
+                tgt = _get(out, path)
+                kh, kw, i, o = tgt.shape
+                v = v.reshape(o, i, kh, kw)
+            v = v.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+        elif key.endswith(".weight") and v.ndim == 2:
+            v = v.T  # (out,in) -> (in,out)
+        ok = _set(out, path, v, strict)
+        (loaded if ok else skipped).append(key)
+    return out, loaded, skipped
+
+
+def _map_key(key: str, v: np.ndarray):
+    """torch key -> flax path tuple, or None for keys we deliberately skip."""
+    parts = key.split(".")
+    if key in ("cls_token", "pos_embed"):
+        return (key,)
+    if parts[0] == "patch_embed" and parts[1] == "proj":
+        return ("patch_embed", "proj", _wb(parts[2], conv=True))
+    if parts[0] == "blocks":
+        blk = f"blocks_{parts[1]}"
+        rest = parts[2:]
+        if rest[0] in ("norm1", "norm2"):
+            return (blk, rest[0], _ln(rest[1]))
+        if rest[0] == "attn":
+            return (blk, "attn", rest[1], _wb(rest[2]))
+        if rest[0] == "mlp":
+            return (blk, "mlp", rest[1], _wb(rest[2]))
+        return None
+    if parts[0] == "norm":
+        return ("norm", _ln(parts[1]))
+    if parts[0] == "head":
+        return ("head", _wb(parts[1]))
+    return None
+
+
+def _wb(name: str, conv: bool = False) -> str:
+    return {"weight": "kernel", "bias": "bias"}[name]
+
+
+def _ln(name: str) -> str:
+    return {"weight": "scale", "bias": "bias"}[name]
+
+
+def _get(tree, path):
+    node = tree
+    for k in path:
+        if not isinstance(node, dict) or k not in node:
+            return None
+        node = node[k]
+    return node
+
+
+def _to_plain_dict(params, prefix=()) -> Dict[Tuple[str, ...], np.ndarray]:
+    flat = {}
+    for k, v in params.items():
+        if isinstance(v, Mapping):
+            flat.update(_to_plain_dict(v, prefix + (k,)))
+        else:
+            flat["/".join(prefix + (k,))] = np.asarray(v)
+    return flat
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Dict:
+    out: Dict = {}
+    for k, v in flat.items():
+        node = out
+        parts = k.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return out

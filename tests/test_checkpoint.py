@@ -1,0 +1,58 @@
+"""Orbax checkpoint save/restore/resume tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dense2sparse_vit_tpu.core.config import ModelConfig, PruningConfig, TrainConfig
+from dense2sparse_vit_tpu.models import DiffPruningStudent
+from dense2sparse_vit_tpu.train import create_train_state, make_optimizer
+from dense2sparse_vit_tpu.utils.checkpoint import CheckpointManager
+
+TINY = ModelConfig(
+    img_size=16, patch_size=8, embed_dim=8, depth=1, num_heads=1, num_classes=3
+)
+
+
+def _state():
+    student = DiffPruningStudent(
+        cfg=TINY, pruning=PruningConfig(pruning_locs=(0,), keep_ratios=(0.5,))
+    )
+    tx = make_optimizer(TrainConfig(), steps_per_epoch=1)
+    imgs = jnp.zeros((1, 16, 16, 3))
+    return create_train_state(student, tx, jax.random.PRNGKey(0), imgs)
+
+
+class TestCheckpointManager:
+    def test_save_restore_roundtrip(self, tmp_path):
+        state = _state()
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save(0, state)
+        assert mgr.latest_step() == 0
+        restored = mgr.restore(state)
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), state.params,
+            restored.params,
+        )
+        assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+        mgr.close()
+
+    def test_save_if_best_tracks_metric(self, tmp_path):
+        state = _state()
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        assert mgr.save_if_best(0, state, 0.5)
+        assert not mgr.save_if_best(1, state, 0.4)  # worse -> no save
+        assert mgr.save_if_best(2, state, 0.6)
+        assert mgr.latest_step() == 2
+        mgr.close()
+
+    def test_resume_from_fresh_manager(self, tmp_path):
+        state = _state()
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        bumped = state.replace(step=state.step + 7)
+        mgr.save(7, bumped)
+        mgr.close()
+        mgr2 = CheckpointManager(str(tmp_path / "ckpt"))
+        restored = mgr2.restore(state)
+        assert int(restored.step) == 7
+        mgr2.close()

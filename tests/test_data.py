@@ -1,0 +1,164 @@
+"""Data pipeline tests: folder dataset, transforms, loader, mixup, splits."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from dense2sparse_vit_tpu.core.config import DataConfig
+from dense2sparse_vit_tpu.data import (
+    ImageFolder,
+    Mixup,
+    eval_transform,
+    make_loader,
+    mixup_cutmix_batch,
+    split_imagenet_validation_set,
+    split_train_val_indices,
+    train_transform,
+)
+from dense2sparse_vit_tpu.data.augment import parse_rand_augment, random_erasing
+
+CFG = DataConfig(eval_resize=40, eval_crop=32)
+
+
+@pytest.fixture(scope="module")
+def folder(tmp_path_factory):
+    root = tmp_path_factory.mktemp("imgs")
+    rng = np.random.default_rng(0)
+    for cls in ("n01", "n02", "n03"):
+        d = root / cls
+        d.mkdir()
+        for i in range(4):
+            arr = rng.integers(0, 255, size=(48, 56, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.jpg")
+    return str(root)
+
+
+class TestImageFolder:
+    def test_index_and_classes(self, folder):
+        ds = ImageFolder(folder)
+        assert len(ds) == 12
+        assert ds.classes == ["n01", "n02", "n03"]
+        img, label = ds[0]
+        assert label == 0
+        assert img.size == (56, 48)
+
+    def test_eval_transform_shape_and_stats(self, folder):
+        ds = ImageFolder(folder, eval_transform(CFG))
+        x, _ = ds[5]
+        assert x.shape == (32, 32, 3)
+        assert x.dtype == np.float32
+        # normalized data should be roughly centered
+        assert abs(float(x.mean())) < 3.0
+
+    def test_train_transform_shape(self, folder):
+        ds = ImageFolder(folder, train_transform(CFG, seed=1))
+        x, _ = ds[3]
+        assert x.shape == (32, 32, 3)
+        assert np.isfinite(x).all()
+
+
+class TestLoader:
+    def test_batching_and_subset(self, folder):
+        ds = ImageFolder(folder, eval_transform(CFG))
+        loader = make_loader(
+            ds, batch_size=4, shuffle=True, indices=np.arange(8)
+        )
+        batches = list(loader())
+        assert len(batches) == 2
+        xb, yb = batches[0]
+        assert xb.shape == (4, 32, 32, 3)
+        assert yb.shape == (4,)
+        # only indices < 8 (labels 0..1) appear
+        all_labels = np.concatenate([b[1] for b in batches])
+        assert set(all_labels).issubset({0, 1})
+
+    def test_reshuffles_across_epochs(self, folder):
+        ds = ImageFolder(folder, eval_transform(CFG))
+        loader = make_loader(ds, batch_size=12, shuffle=True)
+        y1 = next(iter(loader()))[1]
+        y2 = next(iter(loader()))[1]
+        assert not np.array_equal(y1, y2)  # seeded per-epoch reshuffle
+
+
+class TestRandAugment:
+    def test_parse_policy(self):
+        ra = parse_rand_augment("rand-m9-mstd0.5-inc1")
+        assert ra.magnitude == 9
+        assert ra.magnitude_std == 0.5
+        assert ra.num_layers == 2
+
+    def test_applies_ops(self):
+        rng = np.random.default_rng(0)
+        img = Image.fromarray(
+            np.random.default_rng(1).integers(
+                0, 255, size=(32, 32, 3), dtype=np.uint8
+            )
+        )
+        ra = parse_rand_augment("rand-m9-mstd0.5-inc1")
+        ra.prob = 1.0
+        out = ra(img, rng)
+        assert out.size == img.size
+        assert not np.array_equal(np.asarray(out), np.asarray(img))
+
+    def test_random_erasing(self):
+        rng = np.random.default_rng(2)
+        x = np.zeros((32, 32, 3), np.float32)
+        out = random_erasing(x.copy(), rng, prob=1.0)
+        assert (out != 0).any()
+        out2 = random_erasing(x.copy(), rng, prob=0.0)
+        assert (out2 == 0).all()
+
+
+class TestMixup:
+    def test_soft_targets_sum_to_one(self):
+        imgs = jax.random.normal(jax.random.PRNGKey(0), (8, 16, 16, 3))
+        labels = jnp.arange(8) % 4
+        out, tgt = mixup_cutmix_batch(
+            jax.random.PRNGKey(1), imgs, labels, num_classes=4
+        )
+        assert out.shape == imgs.shape
+        np.testing.assert_allclose(np.asarray(tgt).sum(-1), 1.0, atol=1e-5)
+
+    def test_prob_zero_is_identity_with_smoothing(self):
+        imgs = jax.random.normal(jax.random.PRNGKey(2), (4, 8, 8, 3))
+        labels = jnp.array([0, 1, 2, 3])
+        out, tgt = mixup_cutmix_batch(
+            jax.random.PRNGKey(3), imgs, labels, num_classes=4, prob=0.0,
+            smoothing=0.1,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(imgs), atol=1e-6)
+        # smoothing only: on-value 0.925 for 4 classes
+        np.testing.assert_allclose(
+            np.asarray(tgt).max(-1), 0.925, atol=1e-6
+        )
+
+    def test_mixup_wrapper_active_flag(self):
+        assert Mixup(mixup_alpha=0.8).active
+        assert not Mixup(mixup_alpha=0.0, cutmix_alpha=0.0).active
+        with pytest.raises(NotImplementedError):
+            Mixup(cutmix_minmax=(0.2, 0.8))
+
+
+class TestSplits:
+    def test_index_split(self):
+        tr, va = split_train_val_indices(100, 0.8, seed=1)
+        assert len(tr) == 80 and len(va) == 20
+        assert set(tr) | set(va) == set(range(100))
+        tr2, _ = split_train_val_indices(100, 0.8, seed=1)
+        np.testing.assert_array_equal(tr, tr2)  # deterministic
+
+    def test_folder_split(self, folder, tmp_path):
+        t, v = split_imagenet_validation_set(
+            folder, str(tmp_path / "train"), str(tmp_path / "val"),
+            val_fraction=0.25, seed=0,
+        )
+        assert t == 9 and v == 3
+        assert sorted(os.listdir(tmp_path / "train")) == ["n01", "n02", "n03"]
+        n01_train = os.listdir(tmp_path / "train" / "n01")
+        n01_val = os.listdir(tmp_path / "val" / "n01")
+        assert len(n01_train) == 3 and len(n01_val) == 1
+        assert set(n01_train) | set(n01_val) == {"0.jpg", "1.jpg", "2.jpg", "3.jpg"}
