@@ -34,6 +34,10 @@ class ModelConfig:
     layer_norm_eps: float = 1e-6
     # compute dtype for activations; params/accumulation stay fp32
     dtype: str = "float32"
+    # use the fused Pallas attention kernel (TPU inference hot path); the
+    # jnp reference path is used automatically wherever CLS-attention
+    # capture or attention dropout is required
+    use_fused_attention: bool = False
 
     @property
     def num_patches(self) -> int:

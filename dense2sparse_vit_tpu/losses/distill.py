@@ -35,6 +35,69 @@ def keep_ratio_loss(
     return loss / max(len(pred_keep_probs), 1)
 
 
+def dynamic_vit_distill_loss(
+    logits_s: jnp.ndarray,
+    tokens_s: jnp.ndarray,
+    logits_t: jnp.ndarray,
+    tokens_t: jnp.ndarray,
+    labels: jnp.ndarray,
+    pred_keep_probs: Sequence[jnp.ndarray],
+    decisions: jnp.ndarray,
+    target_ratios: Sequence[float],
+    cls_weight: float = 1.0,
+    ratio_weight: float = 2.0,
+    dist_weight: float = 0.5,
+    use_ratio_loss: bool = True,
+    use_token_dist_loss: bool = True,
+    mixup_active: bool = False,
+) -> Tuple[jnp.ndarray, dict]:
+    """DynamicViT training loss for the gumbel-policy student.
+
+    The reference wires this through the (dead) `DistillDiffPruningLoss`
+    symbol (ddp_training.py:81 — never defined in losses.py); the loss
+    surface is defined by the flags --cls-weight / --use-ratio-loss /
+    --ratio-weight / --use-token-dist-loss / --dist-weight
+    (utils.py:232-244), matching the DynamicViT paper recipe:
+      cls_weight * CE + KL(student || teacher logits)
+      + ratio_weight * mean_stage (mean_keep - r)^2
+      + dist_weight * token MSE over KEPT tokens.
+    """
+    from dense2sparse_vit_tpu.losses.backbone_loss import (
+        cross_entropy,
+        soft_target_cross_entropy,
+    )
+
+    logits_s = logits_s.astype(jnp.float32)
+    logits_t = logits_t.astype(jnp.float32)
+    if mixup_active:
+        cls = soft_target_cross_entropy(logits_s, labels)
+    else:
+        cls = cross_entropy(logits_s, labels)
+
+    log_p = jax.nn.log_softmax(logits_s, axis=-1)
+    log_q = jax.nn.log_softmax(logits_t, axis=-1)
+    cls_kl = jnp.sum(jnp.exp(log_q) * (log_q - log_p)) / log_p.shape[0]
+
+    loss = cls_weight * cls + cls_kl
+    metrics = {"dyn_cls_loss": cls, "dyn_cls_kl": cls_kl}
+
+    if use_ratio_loss:
+        ratio = keep_ratio_loss(pred_keep_probs, target_ratios)
+        loss = loss + ratio_weight * ratio
+        metrics["dyn_ratio_loss"] = ratio
+    if use_token_dist_loss:
+        # masked token MSE: only tokens still alive contribute
+        d = decisions.astype(jnp.float32)  # (B, N, 1)
+        diff = (tokens_s.astype(jnp.float32) - tokens_t.astype(jnp.float32)) ** 2
+        tok = jnp.sum(diff.mean(-1, keepdims=True) * d) / jnp.maximum(
+            jnp.sum(d), 1.0
+        )
+        loss = loss + dist_weight * tok
+        metrics["dyn_token_dist_loss"] = tok
+    metrics["dyn_loss"] = loss
+    return loss, metrics
+
+
 def kd_loss(
     logits_s: jnp.ndarray,
     logits_t: jnp.ndarray,

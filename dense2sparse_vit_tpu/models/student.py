@@ -147,6 +147,7 @@ class DiffPruningStudent(nn.Module):
                 drop_path=cfg.drop_path_rate * i / max(cfg.depth - 1, 1),
                 layer_norm_eps=cfg.layer_norm_eps,
                 dtype=dtype,
+                use_fused=cfg.use_fused_attention,
                 name=f"blocks_{i}",
             )
             is_pruning_layer = i in pr.pruning_locs

@@ -67,6 +67,7 @@ class ViTTeacher(nn.Module):
                 drop_path=cfg.drop_path_rate * i / max(cfg.depth - 1, 1),
                 layer_norm_eps=cfg.layer_norm_eps,
                 dtype=dtype,
+                use_fused=cfg.use_fused_attention,
                 name=f"blocks_{i}",
             )(x, return_cls_attn=True, deterministic=deterministic)
             cls_attns.append(jax.lax.stop_gradient(cls_attn))

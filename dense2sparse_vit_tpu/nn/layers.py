@@ -70,6 +70,7 @@ class Attention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     dtype: Dtype = jnp.float32
+    use_fused: bool = False
 
     @nn.compact
     def __call__(
@@ -88,6 +89,29 @@ class Attention(nn.Module):
             C * 3, use_bias=self.qkv_bias, dtype=self.dtype,
             kernel_init=trunc_normal_init, name="qkv",
         )(x)
+
+        if (
+            self.use_fused
+            and not return_cls_attn
+            and (self.attn_drop == 0.0 or deterministic)
+        ):
+            # fused Pallas kernel on the packed qkv layout — no transposes,
+            # scores never leave VMEM (ops/pallas/attention.py). Policy mode
+            # keeps the CLS column by construction: callers pass the full
+            # (B, N) mask including the CLS slot.
+            from dense2sparse_vit_tpu.ops.pallas.attention import (
+                fused_attention_packed,
+            )
+
+            pol = policy.reshape(B, N) if policy is not None else None
+            out = fused_attention_packed(
+                qkv, self.num_heads, policy=pol, scale=scale
+            )
+            out = nn.Dense(
+                C, dtype=self.dtype, kernel_init=trunc_normal_init, name="proj"
+            )(out)
+            return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
 
@@ -145,6 +169,7 @@ class Block(nn.Module):
     drop_path: float = 0.0
     layer_norm_eps: float = 1e-6
     dtype: Dtype = jnp.float32
+    use_fused: bool = False
 
     @nn.compact
     def __call__(
@@ -164,6 +189,7 @@ class Block(nn.Module):
             attn_drop=self.attn_drop,
             proj_drop=self.drop,
             dtype=self.dtype,
+            use_fused=self.use_fused,
             name="attn",
         )(y, policy, return_cls_attn=return_cls_attn, deterministic=deterministic)
         cls_attn = None

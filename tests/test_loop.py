@@ -1,0 +1,82 @@
+"""End-to-end experiment-loop integration test on a tiny synthetic dataset."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from dense2sparse_vit_tpu.core.config import (
+    DataConfig,
+    ExperimentConfig,
+    ModelConfig,
+    PruningConfig,
+    TrainConfig,
+)
+from dense2sparse_vit_tpu.train.loop import run_experiment
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth_imagenet")
+    rng = np.random.default_rng(0)
+    for c in range(3):
+        d = root / f"class_{c}"
+        d.mkdir()
+        for i in range(20):
+            Image.fromarray(
+                rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+            ).save(d / f"{i}.jpg")
+    return str(root)
+
+
+class TestRunExperiment:
+    def test_two_epoch_smoke(self, data_dir, tmp_path):
+        cfg = ExperimentConfig(
+            arch="tiny_test",
+            model=ModelConfig(
+                img_size=32, patch_size=8, embed_dim=16, depth=2,
+                num_heads=2, num_classes=3,
+            ),
+            pruning=PruningConfig(pruning_locs=(1,), keep_ratios=(0.5,)),
+            train=TrainConfig(batch_size=8, epochs=2, warmup_epochs=1),
+            data=DataConfig(
+                imgnet_val_dir=data_dir, num_classes=3,
+                eval_resize=36, eval_crop=32, mixup=0.2, cutmix=0.0,
+            ),
+            visualize_patch_drop=True,
+        )
+        summary = run_experiment(cfg, str(tmp_path), max_steps_per_epoch=2)
+        assert summary["epochs"] == 2
+        # artifacts: metrics log, summary, checkpoint, viz panel
+        assert os.path.exists(tmp_path / "metrics.jsonl")
+        lines = [
+            json.loads(l) for l in open(tmp_path / "metrics.jsonl")
+        ]
+        assert any("train/loss" in l for l in lines)
+        assert any("val/val_acc" in l for l in lines)
+        assert os.path.exists(tmp_path / "summary.json")
+        assert os.listdir(tmp_path / "ckpt")
+        assert os.listdir(tmp_path / "viz")
+
+    def test_resume(self, data_dir, tmp_path):
+        cfg = ExperimentConfig(
+            model=ModelConfig(
+                img_size=32, patch_size=8, embed_dim=16, depth=2,
+                num_heads=2, num_classes=3,
+            ),
+            pruning=PruningConfig(pruning_locs=(1,), keep_ratios=(0.5,)),
+            train=TrainConfig(batch_size=8, epochs=1, warmup_epochs=1),
+            data=DataConfig(
+                imgnet_val_dir=data_dir, num_classes=3,
+                eval_resize=36, eval_crop=32, mixup=0.0, cutmix=0.0,
+            ),
+        )
+        run_experiment(cfg, str(tmp_path), max_steps_per_epoch=2)
+        # resume with more epochs continues from the checkpoint
+        cfg2 = cfg.replace(train=cfg.train.replace(epochs=2))
+        summary = run_experiment(
+            cfg2, str(tmp_path), resume=True, max_steps_per_epoch=2
+        )
+        assert summary["epochs"] == 2

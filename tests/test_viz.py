@@ -1,0 +1,107 @@
+"""Visualization subsystem tests (file outputs + pure-math pieces)."""
+
+import os
+
+import jax
+import numpy as np
+
+from dense2sparse_vit_tpu.core.config import ModelConfig, PruningConfig
+from dense2sparse_vit_tpu.models import DiffPruningStudent
+from dense2sparse_vit_tpu.viz import (
+    cls_attention_histogram,
+    display_patch_drop,
+    dynamic_keep_ratio_hist,
+    epoch_visualize,
+    generate_patch_mask,
+    get_attention_masks,
+    get_jaccard_similarity,
+    save_image_grid,
+    visualize_heads,
+)
+
+B, N, PS = 2, 16, 8
+rng = np.random.default_rng(0)
+
+
+class TestPureMath:
+    def test_get_attention_masks_keeps_top_mass(self):
+        attn = np.array([[0.01] * 12 + [0.22] * 4], np.float32)
+        attn /= attn.sum()
+        mask = get_attention_masks(attn, threshold=0.6, patch_size=4)
+        assert mask.shape == (1, 16, 16)
+        # cumsum semantics: keep the minimal top set whose ascending-prefix
+        # complement holds <= 1-threshold mass — here the top 3 patches
+        # (0.63 mass); the 4th high patch falls below the 0.4 prefix line
+        grid = mask[0].reshape(4, 4, 4, 4)[:, 0, :, 0].reshape(-1)
+        assert grid[-3:].all() and not grid[:12].any()
+
+    def test_generate_patch_mask_upsamples(self):
+        keep = np.zeros((1, 16), np.float32)
+        keep[0, 0] = 1
+        pix = generate_patch_mask(keep, patch_size=4)
+        assert pix.shape == (1, 16, 16, 1)
+        assert pix[0, :4, :4, 0].all() and pix[0, 4:, 4:, 0].sum() == 0
+
+    def test_jaccard(self):
+        a = np.array([[1, 1, 0, 0]], bool)
+        b = np.array([[1, 0, 1, 0]], bool)
+        np.testing.assert_allclose(get_jaccard_similarity(a, b), [1 / 3])
+        np.testing.assert_allclose(get_jaccard_similarity(a, a), [1.0])
+
+
+class TestRendering:
+    def test_file_outputs(self, tmp_path):
+        imgs = rng.normal(size=(B, 32, 32, 3)).astype(np.float32)
+        keep = (rng.uniform(size=(B, N)) > 0.5).astype(np.float32)
+        p1 = display_patch_drop(
+            imgs, keep, str(tmp_path / "drop.png"),
+            patch_scores=rng.uniform(size=(B, N)).astype(np.float32),
+            correct=np.array([True, False]), patch_size=PS,
+        )
+        assert os.path.exists(p1)
+        p2 = save_image_grid(
+            np.clip(imgs, 0, 1), str(tmp_path / "grid.png"), titles=["a", "b"]
+        )
+        assert os.path.exists(p2)
+        dynamic_keep_ratio_hist(
+            rng.uniform(size=(50,)), save_path=str(tmp_path / "hist.png")
+        )
+        assert os.path.exists(tmp_path / "hist.png")
+        attns = rng.uniform(size=(B, 3, 2, N)).astype(np.float32)
+        p3 = cls_attention_histogram(attns, str(tmp_path / "cls_hist.png"))
+        assert os.path.exists(p3)
+        p4 = visualize_heads(
+            [attns[:, i] for i in range(3)], str(tmp_path / "heads.png")
+        )
+        assert os.path.exists(p4)
+
+    def test_visualize_heads_with_pruned_layers(self, tmp_path):
+        full = rng.uniform(size=(B, 2, 16)).astype(np.float32)
+        pruned = rng.uniform(size=(B, 2, 8)).astype(np.float32)
+        kept = np.stack([np.sort(rng.choice(16, 8, replace=False)) for _ in range(B)])
+        p = visualize_heads(
+            [full, pruned], str(tmp_path / "evo.png"),
+            kept_idx_per_stage=[kept], num_patches=16,
+        )
+        assert os.path.exists(p)
+
+
+class TestEpochHook:
+    def test_end_to_end_from_student_output(self, tmp_path):
+        cfg = ModelConfig(
+            img_size=32, patch_size=8, embed_dim=16, depth=2, num_heads=2,
+            num_classes=5,
+        )
+        model = DiffPruningStudent(
+            cfg=cfg, pruning=PruningConfig(pruning_locs=(1,), keep_ratios=(0.5,))
+        )
+        imgs = jax.random.normal(jax.random.PRNGKey(0), (B, 32, 32, 3))
+        params = model.init(jax.random.PRNGKey(1), imgs)
+        out = model.apply(params, imgs)
+        files = epoch_visualize(
+            np.asarray(imgs), out, cfg.num_patches, str(tmp_path), epoch=0,
+            labels=np.array([0, 1]), patch_size=8,
+            visualize_patch_drop=True, visualize_cls_attn_evo=True,
+        )
+        assert len(files) == 2
+        assert all(os.path.exists(f) for f in files)
