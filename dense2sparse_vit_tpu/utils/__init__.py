@@ -5,3 +5,13 @@ from dense2sparse_vit_tpu.utils.convert import (  # noqa: F401
 from dense2sparse_vit_tpu.utils.checkpoint import (  # noqa: F401
     CheckpointManager,
 )
+from dense2sparse_vit_tpu.utils.logging import (  # noqa: F401
+    MetricsLogger,
+    slurm_job_name,
+)
+from dense2sparse_vit_tpu.utils.profiling import (  # noqa: F401
+    flops_of,
+    latency_breakdown,
+    pruned_vs_dense_flops,
+    time_jitted,
+)
