@@ -38,8 +38,16 @@ def list_models():
     return sorted(_REGISTRY)
 
 
+_ALIASES: Dict[str, str] = {}
+
+
+def register_alias(alias: str, target: str):
+    _ALIASES[alias] = target
+
+
 def create_model(name: str, **kwargs):
-    """Instantiate a registered model module by name."""
+    """Instantiate a registered model module by name (aliases accepted)."""
+    name = _ALIASES.get(name, name)
     if name not in _REGISTRY:
         raise ValueError(f"unknown model {name!r}; available: {list_models()}")
     return _REGISTRY[name](**kwargs)
@@ -365,3 +373,22 @@ register_model("vit_large_patch32_384")(
         ),
     )
 )
+
+
+# exact reference factory-name aliases (capitalized T2T names,
+# t2t_vit.py:181-301; dist'd dino names, dino.py:503-618)
+for _t2t_name in ("7", "10", "12", "14", "19", "24"):
+    register_alias(f"T2t_vit_{_t2t_name}", f"t2t_vit_{_t2t_name}")
+for _t2t_name in ("14", "19", "24"):
+    register_alias(f"T2t_vit_t_{_t2t_name}", f"t2t_vit_t_{_t2t_name}")
+register_alias("T2t_vit_14_resnext", "t2t_vit_14_resnext")
+register_alias("T2t_vit_14_wide", "t2t_vit_14_wide")
+register_alias("T2t_vit_16_ghost", "t2t_vit_16_ghost")
+register_alias("vit_deit_tiny_patch16_224", "deit_tiny_patch16_224")
+register_alias("vit_deit_small_patch16_224", "deit_small_patch16_224")
+register_alias("vit_deit_base_patch16_224", "deit_base_patch16_224")
+register_alias(
+    "vit_deit_small_distilled_patch16_224", "deit_small_distilled_patch16_224"
+)
+register_alias("deit_small_dist_masked", "deit_small_patch16_224_masked")
+register_alias("deit_small_dist_predictor", "deit_small_patch16_224_predictor")

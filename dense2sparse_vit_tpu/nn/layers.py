@@ -210,6 +210,32 @@ class Block(nn.Module):
         return x
 
 
+class HybridEmbed(nn.Module):
+    """CNN-feature-map patch embedding.
+
+    Parity: reference HybridEmbed (dynamic_vit.py:309-347) — run a CNN
+    backbone, flatten its (B, H', W', F) feature map into tokens, and
+    project to embed_dim with a 1x1 conv (here a Dense over the feature
+    axis, the NHWC equivalent).
+    """
+
+    backbone: nn.Module
+    embed_dim: int = 768
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, **backbone_kwargs):
+        feats = self.backbone(x.astype(self.dtype), **backbone_kwargs)
+        if isinstance(feats, (list, tuple)):
+            feats = feats[-1]  # last feature map (dynamic_vit.py:344-345)
+        B, H, W, F = feats.shape
+        tokens = feats.reshape(B, H * W, F)
+        return nn.Dense(
+            self.embed_dim, dtype=self.dtype,
+            kernel_init=trunc_normal_init, name="proj",
+        )(tokens)
+
+
 class PatchEmbed(nn.Module):
     """Image-to-patch embedding via strided conv.
 

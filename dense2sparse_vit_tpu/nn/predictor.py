@@ -124,3 +124,73 @@ class PredictorLG(nn.Module):
         else:  # bce
             keep_probs = jax.nn.sigmoid(scores.astype(jnp.float32))
         return scores, keep_probs.astype(scores.dtype)
+
+
+class PredictorAggregator(nn.Module):
+    """Dropped-token summarizer (experimental in the reference: defined at
+    dynamic_vit.py:562-598, its wiring commented out at :724-734).
+
+    Compresses a (B, N_dropped, D) set of dropped tokens into (B, 1, D) via
+    a local/global split and a token-axis BN MLP pyramid over the SEQUENCE
+    dimension.
+    """
+
+    sequence_length: int
+    embed_dim: int = 384
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, use_running_average: bool = True):
+        B, N, C = x.shape
+        x = _NormAct(self.embed_dim, True, "relu", self.dtype, name="in_0")(
+            x, use_running_average=use_running_average
+        )
+        local_x = x[:, :, : C // 2]
+        global_x = jnp.mean(x[:, :, C // 2:], axis=1, keepdims=True)
+        x = jnp.concatenate(
+            [local_x, jnp.broadcast_to(global_x, (B, N, C - C // 2))], axis=-1
+        )
+        # pyramid over the token axis: transpose to (B, C, N)
+        x = x.transpose(0, 2, 1)
+        widths = (self.sequence_length // 2, self.sequence_length // 4, 1)
+        for i, w in enumerate(widths):
+            x = nn.BatchNorm(
+                use_running_average=use_running_average, momentum=0.9,
+                epsilon=1e-5, dtype=self.dtype, name=f"out_bn_{i}",
+            )(x)
+            x = nn.Dense(w, dtype=self.dtype, kernel_init=trunc_normal_init,
+                         name=f"out_dense_{i}")(x)
+            if i < len(widths) - 1:
+                x = nn.relu(x)
+        return x.transpose(0, 2, 1)  # (B, 1, C)
+
+
+class PredictorReconstructor(nn.Module):
+    """Dropped-token reconstructor (experimental in the reference: defined at
+    dynamic_vit.py:600-639, unused). Residual LN-MLP encoder + LN-MLP decoder."""
+
+    embed_dim: int = 384
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.embed_dim
+
+        def mlp_stack(h, name):
+            h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             name=f"{name}_norm0")(h)
+            h = nn.Dense(2 * d, dtype=self.dtype,
+                         kernel_init=trunc_normal_init, name=f"{name}_fc0")(h)
+            h = nn.gelu(h, approximate=False)
+            h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             name=f"{name}_norm1")(h)
+            h = nn.Dense(2 * d, dtype=self.dtype,
+                         kernel_init=trunc_normal_init, name=f"{name}_fc1")(h)
+            h = nn.gelu(h, approximate=False)
+            h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             name=f"{name}_norm2")(h)
+            return nn.Dense(d, dtype=self.dtype,
+                            kernel_init=trunc_normal_init, name=f"{name}_fc2")(h)
+
+        y = x + mlp_stack(x, "in")
+        return mlp_stack(y, "out")
