@@ -100,6 +100,11 @@ class PruningConfig:
     # perturbed top-k (reference peturbed_topk.py; --initial-sigma)
     topk_num_samples: int = 500
     initial_sigma: float = 0.05
+    # train-time differentiable selection: soft-gather kept tokens with the
+    # perturbed-top-k indicator matrix so gradients reach the predictor
+    # through the selection itself (the reference's commented intent,
+    # dynamic_vit.py:556,896-897)
+    differentiable_topk: bool = False
     # use mean over heads instead of max for teacher CLS-attn aggregation
     mean_heads: bool = False
     # take CLS attention from the frozen teacher instead of the student

@@ -112,3 +112,40 @@ def generate_patch_drop_masked_image(
                 )
             )
     return written
+
+
+def main():  # pragma: no cover - thin CLI (display_patch_drop.py:88-136)
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+
+    from dense2sparse_vit_tpu.core.config import DataConfig
+    from dense2sparse_vit_tpu.data import eval_transform
+    from dense2sparse_vit_tpu.models import create_model
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--model-name", default="dino_small")
+    p.add_argument("--patch-size", type=int, default=16)
+    p.add_argument("--use-shape", action="store_true", default=False)
+    p.add_argument("--input-dir", default="test_imgs/input/custom/")
+    p.add_argument("--save-path", default="test_imgs/")
+    p.add_argument("--batch-size", type=int, default=16)
+    args = p.parse_args()
+
+    model = create_model(args.model_name, patch_size=args.patch_size)
+    tf = eval_transform(DataConfig())
+    ds = UnlabeledImageFolder(args.input_dir, tf)
+    batch = jnp.asarray(
+        np.stack([ds[i] for i in range(min(len(ds), args.batch_size))])
+    )
+    variables = model.init(jax.random.PRNGKey(0), batch[:1])
+    files = generate_patch_drop_masked_image(
+        model, variables, batch, args.save_path,
+        patch_size=args.patch_size, use_shape_token=args.use_shape,
+    )
+    print("\n".join(files))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

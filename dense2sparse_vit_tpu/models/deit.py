@@ -56,6 +56,43 @@ def interpolate_pos_encoding(
     return jnp.concatenate([extra, resized], axis=1)
 
 
+def forward_crops(model, variables, crops, **apply_kwargs):
+    """Multi-crop forward: group crops by resolution, run one jitted forward
+    per group, concatenate outputs in the original order.
+
+    Parity: the reference's multi-crop forward (deit.py:241-263,
+    dino.py:230-252) — torch groups consecutive same-resolution crops with
+    cumsum/unique_consecutive; here each distinct resolution is a separate
+    static-shape jit (compiled once per resolution).
+
+    Args:
+      crops: list of (B_i, H_i, W_i, 3) arrays.
+
+    Returns list of per-crop outputs, same order as `crops`.
+    """
+    import collections
+
+    groups = collections.defaultdict(list)
+    for i, c in enumerate(crops):
+        groups[c.shape[1:3]].append(i)
+    fn = jax.jit(
+        lambda v, x: model.apply(v, x, **apply_kwargs),
+        static_argnames=(),
+    )
+    outputs = [None] * len(crops)
+    for _, idxs in groups.items():
+        batch = jnp.concatenate([crops[i] for i in idxs], axis=0)
+        out = fn(variables, batch)
+        sizes = [crops[i].shape[0] for i in idxs]
+        offset = 0
+        for i, s in zip(idxs, sizes):
+            outputs[i] = jax.tree_util.tree_map(
+                lambda t: t[offset:offset + s], out
+            )
+            offset += s
+    return outputs
+
+
 class _DeiTBase(nn.Module):
     """Shared embed + encoder machinery."""
 

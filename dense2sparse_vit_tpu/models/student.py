@@ -78,6 +78,8 @@ class DiffPruningStudent(nn.Module):
         teacher_cls_attns: Optional[jnp.ndarray] = None,
         unpruned: bool = False,
         collect_cls_attns: bool = True,
+        soft_topk: bool = False,
+        sigma: float = 0.05,
     ) -> StudentOutput:
         """Forward with pruning stages.
 
@@ -94,6 +96,16 @@ class DiffPruningStudent(nn.Module):
             training losses/visualization and 'attn' selection). Disable on
             the inference hot path: it lets XLA avoid materializing the full
             (B, H, N, N) attention probabilities for non-pruning layers.
+          soft_topk: training-time differentiable selection — kept tokens are
+            the perturbed-top-k indicator matrix times the spatial tokens
+            (x_kept = I @ x), so gradients flow into the predictor THROUGH
+            the selection, not only via the mask loss. This is the
+            reference's intended --topk-selection mechanism ("multiply
+            transposed indicators with tokens to obtain differentiable topK
+            selection", dynamic_vit.py:896-897, wiring commented at :556).
+            Requires an 'selection' rng; sigma follows the linear decay
+            schedule (utils.py:95).
+          sigma: perturbation std for soft_topk (may be a traced scalar).
         """
         collect = collect_cls_attns or self.pruning.selection == "attn"
         cfg, pr = self.cfg, self.pruning
@@ -184,11 +196,31 @@ class DiffPruningStudent(nn.Module):
                     dropped_stage.append(dropped)
                     pred_logits.append(scores_logits)
                     cur_orig_idx = jnp.take_along_axis(cur_orig_idx, kept, axis=-1)
-                    # gather CLS + kept tokens; K static => static shapes
-                    idx_full = jnp.concatenate(
-                        [jnp.zeros((B, 1), kept.dtype), kept + 1], axis=1
-                    )
-                    x = gather_tokens(x, idx_full)
+                    if soft_topk and not deterministic:
+                        # differentiable selection: expected top-k indicator
+                        # times the tokens (Cordonnier et al.); the hard
+                        # indices above remain the bookkeeping for losses
+                        from dense2sparse_vit_tpu.ops.perturbed_topk import (
+                            perturbed_topk,
+                        )
+
+                        ind = perturbed_topk(
+                            self.make_rng("selection"),
+                            scores,
+                            k,
+                            num_samples=pr.topk_num_samples,
+                            sigma=sigma,
+                        )  # (B, k, N_sp)
+                        soft_kept = jnp.einsum(
+                            "bkn,bnd->bkd", ind.astype(x.dtype), x[:, 1:]
+                        )
+                        x = jnp.concatenate([x[:, :1], soft_kept], axis=1)
+                    else:
+                        # gather CLS + kept tokens; K static => static shapes
+                        idx_full = jnp.concatenate(
+                            [jnp.zeros((B, 1), kept.dtype), kept + 1], axis=1
+                        )
+                        x = gather_tokens(x, idx_full)
                     if collect:
                         x, cls_attn = blk(
                             x, return_cls_attn=True, deterministic=deterministic

@@ -91,6 +91,13 @@ def make_train_step(
         kwargs = dict(deterministic=False)
         if pr.cls_from_teacher:
             kwargs["teacher_cls_attns"] = t_attns
+        if pr.differentiable_topk:
+            from dense2sparse_vit_tpu.train.schedule import sigma_schedule
+
+            kwargs["soft_topk"] = True
+            kwargs["sigma"] = sigma_schedule(
+                epoch, tr.epochs, pr.initial_sigma
+            )
         if has_bn:
             out, new_model_state = student.apply(
                 variables, images, rngs=rngs, mutable=["batch_stats"], **kwargs

@@ -177,3 +177,24 @@ class TestRegistryZoo:
         m = create_model("dino_small", patch_size=8)
         assert m.cfg.patch_size == 8
         assert m.cfg.num_classes == 0
+
+
+class TestMultiCrop:
+    def test_forward_crops_groups_by_resolution(self):
+        from dense2sparse_vit_tpu.models.deit import DeiT, forward_crops
+
+        m = DeiT(cfg=TINY)
+        p = m.init(jax.random.PRNGKey(30), IMGS)
+        crops = [
+            jax.random.normal(jax.random.PRNGKey(31), (2, 32, 32, 3)),
+            jax.random.normal(jax.random.PRNGKey(32), (2, 48, 48, 3)),
+            jax.random.normal(jax.random.PRNGKey(33), (2, 32, 32, 3)),
+        ]
+        outs = forward_crops(m, p, crops)
+        assert len(outs) == 3
+        assert all(o.shape == (2, 7) for o in outs)
+        # grouping must not change per-crop results
+        solo = m.apply(p, crops[1])
+        np.testing.assert_allclose(
+            np.asarray(outs[1]), np.asarray(solo), atol=1e-5
+        )
