@@ -60,6 +60,11 @@ class ImageFolder:
 
 
 def _normalize(arr: np.ndarray, cfg: DataConfig) -> np.ndarray:
+    if arr.dtype == np.uint8:
+        # fused single-pass kernel (native/d2s_native.c) with numpy fallback
+        from dense2sparse_vit_tpu.native import normalize_u8
+
+        return normalize_u8(arr, cfg.mean, cfg.std)
     arr = arr.astype(np.float32) / 255.0
     mean = np.asarray(cfg.mean, np.float32)
     std = np.asarray(cfg.std, np.float32)

@@ -80,6 +80,7 @@ class DiffPruningStudent(nn.Module):
         collect_cls_attns: bool = True,
         soft_topk: bool = False,
         sigma: float = 0.05,
+        threshold_override=None,
     ) -> StudentOutput:
         """Forward with pruning stages.
 
@@ -106,6 +107,10 @@ class DiffPruningStudent(nn.Module):
             Requires an 'selection' rng; sigma follows the linear decay
             schedule (utils.py:95).
           sigma: perturbation std for soft_topk (may be a traced scalar).
+          threshold_override: traced scalar replacing
+            pruning.patch_score_threshold — lets the threshold curriculum
+            (utils.py:165-179) step per epoch WITHOUT recompiling (the keep
+            count is data-dependent either way; shapes stay static).
         """
         collect = collect_cls_attns or self.pruning.selection == "attn"
         cfg, pr = self.cfg, self.pruning
@@ -182,8 +187,13 @@ class DiffPruningStudent(nn.Module):
                 )
                 if pr.patch_score_threshold is not None:
                     # data-dependent keep count -> masked compute, static shape
+                    thr = (
+                        threshold_override
+                        if threshold_override is not None
+                        else pr.patch_score_threshold
+                    )
                     mask, keep_ratios = threshold_keep_mask(
-                        jax.lax.stop_gradient(scores), pr.patch_score_threshold
+                        jax.lax.stop_gradient(scores), thr
                     )
                     cls_ones = jnp.ones((B, 1), mask.dtype)
                     keep_mask_full = jnp.concatenate([cls_ones, mask], axis=1)

@@ -201,6 +201,67 @@ def fused_attention_packed(
     return out
 
 
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(1,)
+)
+def fused_attention_packed_trainable(qkv, num_heads, policy=None, scale=None):
+    """Differentiable fused attention: Pallas forward, reference backward.
+
+    The forward runs the fused kernel (scores never touch HBM); the backward
+    recomputes attention with the jnp reference formula and differentiates
+    THAT — a rematerialized backward whose math matches the unfused path
+    exactly. (A hand-written backward kernel is a future optimization; this
+    already removes the forward's HBM traffic from training.)
+    """
+    return fused_attention_packed(qkv, num_heads, policy, scale=scale)
+
+
+def _ref_attention_packed(qkv, num_heads, policy, scale):
+    """jnp reference of the packed fused attention (for the backward)."""
+    from dense2sparse_vit_tpu.ops.masked_softmax import softmax_with_policy
+
+    B, N, three_hd = qkv.shape
+    hd = three_hd // 3
+    d = hd // num_heads
+    if scale is None:
+        scale = d ** -0.5
+    x = qkv.reshape(B, N, 3, num_heads, d)
+    q, k, v = (x[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    s = jnp.einsum(
+        "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if policy is None:
+        p = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+    else:
+        p = softmax_with_policy(s, policy)
+    o = jnp.einsum("bhnm,bhmd->bhnd", p.astype(qkv.dtype), v)
+    return o.transpose(0, 2, 1, 3).reshape(B, N, hd)
+
+
+def _fat_fwd(qkv, num_heads, policy, scale):
+    out = fused_attention_packed(qkv, num_heads, policy, scale=scale)
+    return out, (qkv, policy, scale)
+
+
+def _fat_bwd(num_heads, res, g):
+    qkv, policy, scale = res
+    if policy is None:
+        _, vjp = jax.vjp(
+            lambda q: _ref_attention_packed(q, num_heads, None, scale), qkv
+        )
+        (gq,) = vjp(g)
+        return gq, None, None
+    _, vjp = jax.vjp(
+        lambda q, pol: _ref_attention_packed(q, num_heads, pol, scale),
+        qkv, policy,
+    )
+    gq, gpol = vjp(g)
+    return gq, gpol, None
+
+
+fused_attention_packed_trainable.defvjp(_fat_fwd, _fat_bwd)
+
+
 def fused_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

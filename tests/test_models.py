@@ -183,3 +183,28 @@ class TestRegistry:
     def test_unknown_name_raises(self):
         with pytest.raises(ValueError):
             create_model("nope")
+
+
+class TestThresholdOverride:
+    def test_traced_threshold_changes_keep_counts_without_recompile(self):
+        pr = PruningConfig(
+            pruning_locs=(1,), keep_ratios=(0.5,), patch_score_threshold=0.5
+        )
+        model = DiffPruningStudent(cfg=TINY, pruning=pr)
+        imgs = jax.random.normal(jax.random.PRNGKey(30), (B, 32, 32, 3))
+        params = model.init(jax.random.PRNGKey(31), imgs)
+
+        calls = []
+
+        @jax.jit
+        def fwd(thr):
+            calls.append(1)  # traces once per compilation
+            return model.apply(
+                params, imgs, threshold_override=thr
+            ).keep_ratios
+
+        lo = fwd(jnp.float32(0.1))
+        hi = fwd(jnp.float32(0.9))
+        assert len(calls) == 1  # one trace -> no recompilation per threshold
+        # a higher threshold drops more mass -> keeps fewer tokens
+        assert float(jnp.mean(hi)) < float(jnp.mean(lo))

@@ -89,3 +89,47 @@ class TestFusedAttention:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(want), atol=1e-2
         )
+
+
+class TestTrainableFusedAttention:
+    def test_backward_matches_reference_grads(self):
+        import dense2sparse_vit_tpu.ops.pallas.attention as A
+
+        orig = A.fused_attention_packed
+        A.fused_attention_packed = lambda *a, **k: orig(
+            *a, **{**k, "interpret": True}
+        )
+        try:
+            qkv = jax.random.normal(jax.random.PRNGKey(0), (B, 16, 3 * H * D))
+            g_fused = jax.grad(
+                lambda q: jnp.sum(
+                    A.fused_attention_packed_trainable(q, H) ** 2
+                )
+            )(qkv)
+            g_ref = jax.grad(
+                lambda q: jnp.sum(
+                    A._ref_attention_packed(q, H, None, None) ** 2
+                )
+            )(qkv)
+            # fwd values differ by kernel tolerance; grads differ accordingly
+            np.testing.assert_allclose(
+                np.asarray(g_fused), np.asarray(g_ref), atol=5e-2
+            )
+            pol = (
+                jax.random.uniform(jax.random.PRNGKey(1), (B, 16)) > 0.3
+            ).astype(jnp.float32)
+            g_fp = jax.grad(
+                lambda q: jnp.sum(
+                    A.fused_attention_packed_trainable(q, H, pol) ** 2
+                )
+            )(qkv)
+            g_rp = jax.grad(
+                lambda q: jnp.sum(
+                    A._ref_attention_packed(q, H, pol, None) ** 2
+                )
+            )(qkv)
+            np.testing.assert_allclose(
+                np.asarray(g_fp), np.asarray(g_rp), atol=5e-2
+            )
+        finally:
+            A.fused_attention_packed = orig
