@@ -98,14 +98,16 @@ class Attention(nn.Module):
             # fused Pallas kernel on the packed qkv layout — no transposes,
             # scores never leave VMEM (ops/pallas/attention.py). Policy mode
             # keeps the CLS column by construction: callers pass the full
-            # (B, N) mask including the CLS slot.
+            # (B, N) mask including the CLS slot. The trainable wrapper is a
+            # custom-VJP (Pallas forward, reference backward), so this path
+            # is safe under jax.grad.
             from dense2sparse_vit_tpu.ops.pallas.attention import (
-                fused_attention_packed,
+                fused_attention_packed_trainable,
             )
 
             pol = policy.reshape(B, N) if policy is not None else None
-            out = fused_attention_packed(
-                qkv, self.num_heads, policy=pol, scale=scale
+            out = fused_attention_packed_trainable(
+                qkv, self.num_heads, pol, scale
             )
             out = nn.Dense(
                 C, dtype=self.dtype, kernel_init=trunc_normal_init, name="proj"

@@ -202,7 +202,7 @@ def fused_attention_packed(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(1,)
+    jax.custom_vjp, nondiff_argnums=(1, 3)
 )
 def fused_attention_packed_trainable(qkv, num_heads, policy=None, scale=None):
     """Differentiable fused attention: Pallas forward, reference backward.
@@ -212,6 +212,8 @@ def fused_attention_packed_trainable(qkv, num_heads, policy=None, scale=None):
     THAT — a rematerialized backward whose math matches the unfused path
     exactly. (A hand-written backward kernel is a future optimization; this
     already removes the forward's HBM traffic from training.)
+
+    num_heads and scale are static (nondiff) arguments.
     """
     return fused_attention_packed(qkv, num_heads, policy, scale=scale)
 
@@ -240,23 +242,23 @@ def _ref_attention_packed(qkv, num_heads, policy, scale):
 
 def _fat_fwd(qkv, num_heads, policy, scale):
     out = fused_attention_packed(qkv, num_heads, policy, scale=scale)
-    return out, (qkv, policy, scale)
+    return out, (qkv, policy)
 
 
-def _fat_bwd(num_heads, res, g):
-    qkv, policy, scale = res
+def _fat_bwd(num_heads, scale, res, g):
+    qkv, policy = res
     if policy is None:
         _, vjp = jax.vjp(
             lambda q: _ref_attention_packed(q, num_heads, None, scale), qkv
         )
         (gq,) = vjp(g)
-        return gq, None, None
+        return gq, None
     _, vjp = jax.vjp(
         lambda q, pol: _ref_attention_packed(q, num_heads, pol, scale),
         qkv, policy,
     )
     gq, gpol = vjp(g)
-    return gq, gpol, None
+    return gq, gpol
 
 
 fused_attention_packed_trainable.defvjp(_fat_fwd, _fat_bwd)
