@@ -90,29 +90,36 @@ class Attention(nn.Module):
             kernel_init=trunc_normal_init, name="qkv",
         )(x)
 
-        if (
-            self.use_fused
-            and not return_cls_attn
-            and (self.attn_drop == 0.0 or deterministic)
-        ):
+        if self.use_fused and (self.attn_drop == 0.0 or deterministic):
             # fused Pallas kernel on the packed qkv layout — no transposes,
             # scores never leave VMEM (ops/pallas/attention.py). Policy mode
             # keeps the CLS column by construction: callers pass the full
-            # (B, N) mask including the CLS slot. The trainable wrapper is a
-            # custom-VJP (Pallas forward, reference backward), so this path
-            # is safe under jax.grad.
+            # (B, N) mask including the CLS slot. The trainable wrappers are
+            # custom-VJPs (Pallas forward, reference backward), so this path
+            # is safe under jax.grad. CLS-attention capture is a second
+            # kernel output (no extra matmuls).
             from dense2sparse_vit_tpu.ops.pallas.attention import (
                 fused_attention_packed_trainable,
+                fused_attention_packed_with_cls_trainable,
             )
 
             pol = policy.reshape(B, N) if policy is not None else None
-            out = fused_attention_packed_trainable(
-                qkv, self.num_heads, pol, scale
-            )
+            cls_attn = None
+            if return_cls_attn:
+                out, cls_attn = fused_attention_packed_with_cls_trainable(
+                    qkv, self.num_heads, pol, scale
+                )
+            else:
+                out = fused_attention_packed_trainable(
+                    qkv, self.num_heads, pol, scale
+                )
             out = nn.Dense(
                 C, dtype=self.dtype, kernel_init=trunc_normal_init, name="proj"
             )(out)
-            return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+            out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+            if return_cls_attn:
+                return out, cls_attn
+            return out
 
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))

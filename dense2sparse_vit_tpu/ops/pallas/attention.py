@@ -24,8 +24,12 @@ Masking modes:
     columns zeroed except the diagonal, eps/N smoothing — used by
     threshold-mode pruning; padding folds into the policy as zeros.
 
-Forward-only by design: training (which captures CLS attention anyway) uses
-the jnp reference path; inference uses this kernel.
+Differentiability: the raw pallas_call has no VJP; training goes through
+`fused_attention_packed_trainable` / `..._with_cls_trainable`, custom-VJP
+wrappers whose backward differentiates the exact jnp reference formula
+(rematerialized). CLS-attention capture (what the teacher and the student's
+visualization path need per block) is a second kernel output costing no
+extra matmuls (`return_cls=True`).
 """
 
 from __future__ import annotations
@@ -42,10 +46,12 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _attn_kernel(qkv_ref, policy_ref, out_ref, *, scale, eps, n_valid,
-                 num_heads, head_dim, use_policy):
+def _attn_kernel(qkv_ref, policy_ref, out_ref, *cls_ref_opt, scale, eps,
+                 n_valid, num_heads, head_dim, use_policy):
     """nb batch rows: qkv_ref (nb, N, 3*H*d), policy_ref (nb, 1, N),
-    out_ref (nb, N, H*d)."""
+    out_ref (nb, N, H*d); optional cls_ref (nb, H, N) receives the CLS
+    (row 0) attention probabilities per head."""
+    cls_ref = cls_ref_opt[0] if cls_ref_opt else None
     nb, n, _ = qkv_ref.shape
     hd = num_heads * head_dim
 
@@ -114,6 +120,15 @@ def _attn_kernel(qkv_ref, policy_ref, out_ref, *, scale, eps, n_valid,
             out_ref[b, :, o:o + head_dim] = (
                 num / den
             ).astype(out_ref.dtype)
+            if cls_ref is not None:
+                # CLS attention row: p[0, :] = (e[0, :] (+ eps/N)) / den[0]
+                e_cls = e[0:1, :].astype(jnp.float32)  # (1, n)
+                if use_policy:
+                    cls_ref[b, h] = (
+                        (e_cls + eps / n_valid) / den[0:1]
+                    ).astype(cls_ref.dtype)[0]
+                else:
+                    cls_ref[b, h] = (e_cls / den[0:1]).astype(cls_ref.dtype)[0]
         return _
 
     jax.lax.fori_loop(0, nb, batch_row, None)
@@ -127,8 +142,9 @@ def fused_attention_packed(
     scale: float | None = None,
     eps: float = 1e-6,
     block_batch: int = 8,
+    return_cls: bool = False,
     interpret: bool = False,
-) -> jnp.ndarray:
+):
     """Fused attention on the packed qkv projection output.
 
     Args:
@@ -138,9 +154,13 @@ def fused_attention_packed(
       policy: optional (B, N) keep mask (see module docstring).
       scale: default (d)^-0.5.
       block_batch: batch rows per kernel program.
+      return_cls: also return the (B, H, N) CLS-row attention probabilities
+        (token 0's attention over all tokens) — what the teacher captures at
+        every block for the mask loss (dynamic_vit.py:216-236) — at no extra
+        matmul cost.
 
     Returns:
-      (B, N, H*d) attention output in token-major layout.
+      (B, N, H*d) attention output, or (output, cls_attn) with return_cls.
     """
     B, N, three_hd = qkv.shape
     hd = three_hd // 3
@@ -174,7 +194,20 @@ def fused_attention_packed(
         head_dim=head_dim,
         use_policy=use_policy,
     )
-    out = pl.pallas_call(
+    out_specs = pl.BlockSpec((nb, Np, hd), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, Np, hd), qkv.dtype)
+    if return_cls:
+        out_specs = (
+            out_specs,
+            pl.BlockSpec((nb, num_heads, Np), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        )
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((B, num_heads, Np), qkv.dtype),
+        )
+    result = pl.pallas_call(
         kernel,
         grid=(B // nb,),
         in_specs=[
@@ -183,9 +216,8 @@ def fused_attention_packed(
             pl.BlockSpec((nb, 1, Np), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((nb, Np, hd), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Np, hd), qkv.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * B * num_heads * Np * Np * head_dim,
             bytes_accessed=4 * B * Np * hd * qkv.dtype.itemsize,
@@ -196,6 +228,13 @@ def fused_attention_packed(
         ),
         interpret=interpret,
     )(qkv, pol[:, None, :])
+    if return_cls:
+        out, cls_attn = result
+        if pad:
+            out = out[:, :N]
+            cls_attn = cls_attn[:, :, :N]
+        return out, cls_attn
+    out = result
     if pad:
         out = out[:, :N]
     return out
@@ -262,6 +301,68 @@ def _fat_bwd(num_heads, scale, res, g):
 
 
 fused_attention_packed_trainable.defvjp(_fat_fwd, _fat_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3))
+def fused_attention_packed_with_cls_trainable(
+    qkv, num_heads, policy=None, scale=None
+):
+    """Like fused_attention_packed_trainable but also returns the (B, H, N)
+    CLS-row attention probabilities (second output)."""
+    return fused_attention_packed(
+        qkv, num_heads, policy, scale=scale, return_cls=True
+    )
+
+
+def _ref_attention_packed_with_cls(qkv, num_heads, policy, scale):
+    from dense2sparse_vit_tpu.ops.masked_softmax import softmax_with_policy
+
+    B, N, three_hd = qkv.shape
+    hd = three_hd // 3
+    d = hd // num_heads
+    if scale is None:
+        scale = d ** -0.5
+    x = qkv.reshape(B, N, 3, num_heads, d)
+    q, k, v = (x[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    s = jnp.einsum(
+        "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if policy is None:
+        p = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+    else:
+        p = softmax_with_policy(s, policy)
+    o = jnp.einsum("bhnm,bhmd->bhnd", p.astype(qkv.dtype), v)
+    return (
+        o.transpose(0, 2, 1, 3).reshape(B, N, hd),
+        p[:, :, 0, :].astype(qkv.dtype),
+    )
+
+
+def _fatc_fwd(qkv, num_heads, policy, scale):
+    out = fused_attention_packed(
+        qkv, num_heads, policy, scale=scale, return_cls=True
+    )
+    return out, (qkv, policy)
+
+
+def _fatc_bwd(num_heads, scale, res, g):
+    qkv, policy = res
+    if policy is None:
+        _, vjp = jax.vjp(
+            lambda q: _ref_attention_packed_with_cls(q, num_heads, None, scale),
+            qkv,
+        )
+        (gq,) = vjp(g)
+        return gq, None
+    _, vjp = jax.vjp(
+        lambda q, pol: _ref_attention_packed_with_cls(q, num_heads, pol, scale),
+        qkv, policy,
+    )
+    gq, gpol = vjp(g)
+    return gq, gpol
+
+
+fused_attention_packed_with_cls_trainable.defvjp(_fatc_fwd, _fatc_bwd)
 
 
 def fused_attention(

@@ -133,3 +133,56 @@ class TestTrainableFusedAttention:
             )
         finally:
             A.fused_attention_packed = orig
+
+
+class TestClsRowOutput:
+    def test_cls_row_matches_reference(self):
+        qkv = jax.random.normal(jax.random.PRNGKey(2), (B, 16, 3 * H * D))
+        out, cls = fused_attention_packed(
+            qkv, H, return_cls=True, interpret=True
+        )
+        assert cls.shape == (B, H, 16)
+        x = qkv.reshape(B, 16, 3, H, D)
+        q, k, v = (x[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        s = jnp.einsum("bhnd,bhmd->bhnm", q, k) * D**-0.5
+        p = jax.nn.softmax(s, axis=-1)
+        np.testing.assert_allclose(
+            np.asarray(cls), np.asarray(p[:, :, 0, :]), atol=1e-2
+        )
+        # rows are distributions
+        np.testing.assert_allclose(np.asarray(cls).sum(-1), 1.0, atol=1e-2)
+
+    def test_cls_row_padded_case(self):
+        qkv = jax.random.normal(jax.random.PRNGKey(3), (B, N, 3 * H * D))
+        out, cls = fused_attention_packed(
+            qkv, H, return_cls=True, interpret=True
+        )
+        assert cls.shape == (B, H, N)  # pad sliced away
+        np.testing.assert_allclose(np.asarray(cls).sum(-1), 1.0, atol=1e-2)
+
+    def test_with_cls_trainable_grads(self):
+        import dense2sparse_vit_tpu.ops.pallas.attention as A
+
+        orig = A.fused_attention_packed
+        A.fused_attention_packed = lambda *a, **k: orig(
+            *a, **{**k, "interpret": True}
+        )
+        try:
+            qkv = jax.random.normal(jax.random.PRNGKey(4), (B, 16, 3 * H * D))
+
+            def loss(q):
+                o, c = A.fused_attention_packed_with_cls_trainable(q, H)
+                return jnp.sum(o**2) + jnp.sum(c**2)
+
+            g = jax.grad(loss)(qkv)
+            g_ref = jax.grad(
+                lambda q: sum(
+                    jnp.sum(t**2)
+                    for t in A._ref_attention_packed_with_cls(q, H, None, None)
+                )
+            )(qkv)
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(g_ref), atol=5e-2
+            )
+        finally:
+            A.fused_attention_packed = orig
