@@ -392,3 +392,77 @@ register_alias(
 )
 register_alias("deit_small_dist_masked", "deit_small_patch16_224_masked")
 register_alias("deit_small_dist_predictor", "deit_small_patch16_224_predictor")
+
+
+def _t2t_student(embed_dim, depth, num_heads, mlp_ratio, tokens_type="performer"):
+    def factory(
+        pruning_locs: Sequence[int] = (3, 6, 9),
+        keep_ratios: Sequence[float] = (0.7, 0.49, 0.343),
+        **kwargs,
+    ):
+        from dense2sparse_vit_tpu.nn.t2t import T2TModule
+
+        pruning_kwargs = {
+            k: kwargs.pop(k)
+            for k in list(kwargs)
+            if k in PruningConfig.__dataclass_fields__
+        }
+        cfg = ModelConfig(
+            embed_dim=embed_dim, depth=depth, num_heads=num_heads,
+            mlp_ratio=mlp_ratio, qkv_bias=False, layer_norm_eps=1e-5,
+            **kwargs,
+        )
+        import jax.numpy as jnp
+
+        return DiffPruningStudent(
+            cfg=cfg,
+            pruning=PruningConfig(
+                pruning_locs=tuple(pruning_locs),
+                keep_ratios=tuple(keep_ratios),
+                **pruning_kwargs,
+            ),
+            stem=T2TModule(
+                embed_dim=embed_dim, tokens_type=tokens_type,
+                dtype=jnp.dtype(cfg.dtype), name="tokens_to_token",
+            ),
+            pos_embed_type="sinusoid",
+        )
+
+    return factory
+
+
+# pruned T2T-ViT students (BASELINE config 4: T2T-14 + pruning stages)
+register_model("t2t_vit_14_student")(_t2t_student(384, 14, 6, 3.0))
+register_model("t2t_vit_t_14_student")(
+    _t2t_student(384, 14, 6, 3.0, tokens_type="transformer")
+)
+
+
+def _dino_student(size_cfg: ModelConfig):
+    def factory(
+        pruning_locs: Sequence[int] = (3, 6, 9),
+        keep_ratios: Sequence[float] = (0.7, 0.49, 0.343),
+        **kwargs,
+    ):
+        pruning_kwargs = {
+            k: kwargs.pop(k)
+            for k in list(kwargs)
+            if k in PruningConfig.__dataclass_fields__
+        }
+        # BASELINE config 5: DINO backbone + perturbed-top-k masks —
+        # differentiable selection on by default
+        pruning_kwargs.setdefault("differentiable_topk", True)
+        return DiffPruningStudent(
+            cfg=size_cfg.replace(**kwargs),
+            pruning=PruningConfig(
+                pruning_locs=tuple(pruning_locs),
+                keep_ratios=tuple(keep_ratios),
+                **pruning_kwargs,
+            ),
+        )
+
+    return factory
+
+
+register_model("dino_small_student")(_dino_student(deit_small()))
+register_model("dino_tiny_student")(_dino_student(deit_tiny()))

@@ -66,8 +66,19 @@ class StudentOutput:
 
 
 class DiffPruningStudent(nn.Module):
+    """See module docstring.
+
+    `stem`/`pos_embed_type` make the pruning machinery backbone-agnostic:
+    the default is the DeiT conv patch embed with a learned position
+    embedding; a T2T stem with the fixed sinusoid table gives the pruned
+    T2T-ViT (BASELINE config 4), and a headless/DINO-initialized config
+    gives the pruned DINO student (BASELINE config 5).
+    """
+
     cfg: ModelConfig
     pruning: PruningConfig
+    stem: Optional[nn.Module] = None
+    pos_embed_type: str = "learned"  # 'learned' | 'sinusoid'
 
     @nn.compact
     def __call__(
@@ -119,18 +130,28 @@ class DiffPruningStudent(nn.Module):
         N = cfg.num_patches
         keep_counts = pr.keep_counts(N)
 
-        x = PatchEmbed(cfg.patch_size, cfg.embed_dim, dtype, name="patch_embed")(
-            x.astype(dtype)
-        )
+        if self.stem is not None:
+            x = self.stem(x.astype(dtype), deterministic=deterministic)
+        else:
+            x = PatchEmbed(
+                cfg.patch_size, cfg.embed_dim, dtype, name="patch_embed"
+            )(x.astype(dtype))
         cls_token = self.param("cls_token", trunc_normal_init, (1, 1, cfg.embed_dim))
-        pos_embed = self.param(
-            "pos_embed", trunc_normal_init, (1, N + 1, cfg.embed_dim)
-        )
         x = jnp.concatenate(
             [jnp.broadcast_to(cls_token, (B, 1, cfg.embed_dim)).astype(dtype), x],
             axis=1,
         )
-        x = x + pos_embed.astype(dtype)
+        if self.pos_embed_type == "learned":
+            pos_embed = self.param(
+                "pos_embed", trunc_normal_init, (1, N + 1, cfg.embed_dim)
+            )
+            x = x + pos_embed.astype(dtype)
+        else:  # fixed sinusoid table (T2T convention, t2t_vit.py:119)
+            from dense2sparse_vit_tpu.nn.t2t import get_sinusoid_encoding
+
+            x = x + jnp.asarray(
+                get_sinusoid_encoding(N + 1, cfg.embed_dim), dtype
+            )
         x = nn.Dropout(cfg.drop_rate)(x, deterministic=deterministic)
 
         pred_logits, kept_stage, dropped_stage, cls_attns = [], [], [], []

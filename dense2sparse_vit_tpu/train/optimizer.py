@@ -35,7 +35,10 @@ def label_params(params) -> Any:
 
     def label(path, leaf):
         p = _path_str(path)
-        if "cls_token" in p or "pos_embed" in p:
+        # prm_w: the performer's fixed orthogonal projection
+        # (token_performer.py:28-29, requires_grad=False) — without this rule
+        # AdamW's weight decay would still shrink it despite zero grads
+        if "cls_token" in p or "pos_embed" in p or "prm_w" in p:
             return "frozen"
         if "early_exit" in p:
             return "early_exit"

@@ -175,3 +175,16 @@ class TestSPMD:
             lambda a, b: float(jnp.abs(a - b).max()), s1.params, s8.params
         )
         assert max(jax.tree_util.tree_leaves(d)) < 1e-4
+
+
+class TestPerformerWFrozen:
+    def test_prm_w_labeled_frozen(self):
+        from dense2sparse_vit_tpu.nn.t2t import TokenPerformer
+
+        m = TokenPerformer(in_dim=8)
+        x = jnp.zeros((1, 4, 16))
+        p = m.init(jax.random.PRNGKey(0), x)["params"]
+        labels = label_params(p)
+        flat = jax.tree_util.tree_leaves_with_path(labels)
+        prm = [lbl for path, lbl in flat if "prm_w" in str(path)]
+        assert prm == ["frozen"]
