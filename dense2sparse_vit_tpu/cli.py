@@ -13,7 +13,6 @@ from typing import Optional, Sequence
 from dense2sparse_vit_tpu.core.config import (
     DataConfig,
     ExperimentConfig,
-    ModelConfig,
     PruningConfig,
     TrainConfig,
     deit_base,

@@ -38,6 +38,11 @@ class ModelConfig:
     # jnp reference path is used automatically wherever CLS-attention
     # capture or attention dropout is required
     use_fused_attention: bool = False
+    # rematerialize encoder blocks under grad (jax.checkpoint): trades
+    # recompute FLOPs for activation memory — the lever for ViT-L/H-scale
+    # training (no reference counterpart; torch calls this
+    # activation/gradient checkpointing)
+    remat: bool = False
 
     @property
     def num_patches(self) -> int:

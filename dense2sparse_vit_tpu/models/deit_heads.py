@@ -13,12 +13,9 @@ Parity:
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import flax.linen as nn
 import jax.numpy as jnp
 
-from dense2sparse_vit_tpu.core.config import ModelConfig
 from dense2sparse_vit_tpu.models.deit import _DeiTBase
 from dense2sparse_vit_tpu.nn.layers import trunc_normal_init
 

@@ -22,7 +22,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from dense2sparse_vit_tpu.core.config import ModelConfig
 from dense2sparse_vit_tpu.models.deit import _DeiTBase
 from dense2sparse_vit_tpu.nn.layers import trunc_normal_init
 from dense2sparse_vit_tpu.ops.gumbel import gumbel_softmax

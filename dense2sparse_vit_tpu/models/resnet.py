@@ -8,7 +8,7 @@ robustness alongside the ViT patch-drop experiments.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax

@@ -8,8 +8,6 @@ attention stack) for distillation and mask supervision.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ Functional re-implementations of the reference's in-repo layer definitions
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax

@@ -15,7 +15,6 @@ from dense2sparse_vit_tpu.core.mesh import (  # noqa: F401
 )
 
 import jax
-import jax.numpy as jnp
 
 
 def all_reduce_mean(tree, axis_name: str = "data"):

@@ -15,8 +15,7 @@ functions:
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import flax.struct
 import jax
@@ -103,6 +102,14 @@ def make_train_step(
                 variables, images, rngs=rngs, mutable=["batch_stats"], **kwargs
             )
             new_stats = new_model_state["batch_stats"]
+        elif cfg.model.remat:
+            # rematerialize the student forward under grad: only its inputs
+            # are saved, activations are recomputed in the backward — the
+            # memory lever for large configs (cfg.model.remat)
+            out = jax.checkpoint(
+                lambda v, x: student.apply(v, x, rngs=rngs, **kwargs)
+            )(variables, images)
+            new_stats = batch_stats
         else:
             out = student.apply(variables, images, rngs=rngs, **kwargs)
             new_stats = batch_stats

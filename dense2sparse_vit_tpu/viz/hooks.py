@@ -10,8 +10,6 @@ the CLS-attention head-evolution maps with pruned layers padded (:36-56).
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 from dense2sparse_vit_tpu.ops.topk import compose_kept_indices, scatter_token_mask
