@@ -110,6 +110,12 @@ class PruningConfig:
     # through the selection itself (the reference's commented intent,
     # dynamic_vit.py:556,896-897)
     differentiable_topk: bool = False
+    # TPU-native freebie: sequences are padded to 16-token tiles by the MXU
+    # tiling anyway (bf16 sublane), so rounding each K UP until K+1 (with
+    # CLS) fills its tile keeps MORE tokens at zero extra compute —
+    # e.g. the DeiT-S 0.7 schedule's (137, 96, 67) becomes (143, 111, 79),
+    # same padded shapes, strictly more information retained
+    pad_keep_to_tile: bool = False
     # use mean over heads instead of max for teacher CLS-attn aggregation
     mean_heads: bool = False
     # take CLS attention from the frozen teacher instead of the student
@@ -131,9 +137,16 @@ class PruningConfig:
         """Static per-stage kept-token counts K_i = int(N * r_i).
 
         Matches reference semantics: ratios are always relative to the
-        original spatial token count (dynamic_vit.py:828,852).
+        original spatial token count (dynamic_vit.py:828,852). With
+        pad_keep_to_tile, each K is rounded up so K+1 (the CLS-inclusive
+        sequence) fills a 16-token tile — free extra tokens on TPU.
         """
-        return tuple(int(num_patches * r) for r in self.keep_ratios)
+        counts = [int(num_patches * r) for r in self.keep_ratios]
+        if self.pad_keep_to_tile:
+            counts = [
+                min(num_patches, -(-(k + 1) // 16) * 16 - 1) for k in counts
+            ]
+        return tuple(counts)
 
     def replace(self, **kw) -> "PruningConfig":
         return dataclasses.replace(self, **kw)

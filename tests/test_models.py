@@ -208,3 +208,29 @@ class TestThresholdOverride:
         assert len(calls) == 1  # one trace -> no recompilation per threshold
         # a higher threshold drops more mass -> keeps fewer tokens
         assert float(jnp.mean(hi)) < float(jnp.mean(lo))
+
+
+class TestPadKeepToTile:
+    def test_counts_round_up_to_tile(self):
+        pr = PruningConfig(
+            pruning_locs=(3, 6, 9), keep_ratios=(0.7, 0.49, 0.343),
+            pad_keep_to_tile=True,
+        )
+        # (137, 96, 67) -> K+1 in {144, 112, 80} -> (143, 111, 79)
+        assert pr.keep_counts(196) == (143, 111, 79)
+        # never exceeds N
+        pr2 = PruningConfig(
+            pruning_locs=(1,), keep_ratios=(0.99,), pad_keep_to_tile=True
+        )
+        assert pr2.keep_counts(196) == (196,)
+
+    def test_forward_with_padded_counts(self):
+        pr = PruningConfig(
+            pruning_locs=(1,), keep_ratios=(0.5,), pad_keep_to_tile=True
+        )
+        model = DiffPruningStudent(cfg=TINY, pruning=pr)
+        imgs = jax.random.normal(jax.random.PRNGKey(40), (B, 32, 32, 3))
+        params = model.init(jax.random.PRNGKey(41), imgs)
+        out = model.apply(params, imgs)
+        # 16 * 0.5 = 8 -> K+1=16 tile -> K=15
+        assert out.features.shape == (B, 15, 32)
