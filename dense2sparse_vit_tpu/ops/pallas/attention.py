@@ -287,11 +287,13 @@ def _fat_fwd(qkv, num_heads, policy, scale):
 def _fat_bwd(num_heads, scale, res, g):
     qkv, policy = res
     if policy is None:
-        _, vjp = jax.vjp(
-            lambda q: _ref_attention_packed(q, num_heads, None, scale), qkv
+        # fully fused backward kernel (P recomputed in VMEM, five dots, no
+        # (B, H, N, N) HBM traffic)
+        return (
+            fused_attention_backward_packed(qkv, g, num_heads, scale=scale),
+            None,
         )
-        (gq,) = vjp(g)
-        return gq, None
+    # policy mode (threshold pruning / gumbel masking): reference backward
     _, vjp = jax.vjp(
         lambda q, pol: _ref_attention_packed(q, num_heads, pol, scale),
         qkv, policy,
@@ -301,6 +303,151 @@ def _fat_bwd(num_heads, scale, res, g):
 
 
 fused_attention_packed_trainable.defvjp(_fat_fwd, _fat_bwd)
+
+
+def _attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, scale, n_valid, num_heads,
+                     head_dim):
+    """Fused attention backward, plain-softmax mode.
+
+    Per (batch row, head): recompute P from qkv (cheaper than storing the
+    (N, N) probabilities in HBM between passes), then
+        dV = P^T g,   dP = g V^T,
+        dS = P * (dP - rowsum(dP * P))   [softmax backward],
+        dQ = scale * dS K,   dK = scale * dS^T Q.
+    The rowsum is folded into a matmul against an ones block (same trick as
+    the forward). All five dots stay in VMEM.
+    qkv_ref/g_ref blocks: (nb, N, 3*H*d) / (nb, N, H*d); dqkv out matches qkv.
+    """
+    nb, n, _ = qkv_ref.shape
+    hd = num_heads * head_dim
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    pad_mask = col < n_valid
+
+    def batch_row(b, _):
+        qkv = qkv_ref[b]
+        gout = g_ref[b]  # (N, H*d)
+        for h in range(num_heads):
+            o = h * head_dim
+            q = qkv[:, o:o + head_dim]
+            k = qkv[:, hd + o:hd + o + head_dim]
+            v = qkv[:, 2 * hd + o:2 * hd + o + head_dim]
+            g = gout[:, o:o + head_dim]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s = jnp.where(pad_mask, jnp.clip(s, -30.0, 30.0), -jnp.inf)
+            e = jnp.exp(s)
+            # rowsum via ones-matmul (lane reductions are the VPU bottleneck)
+            ones_n = jnp.ones((n, 8), jnp.float32)
+            den = jax.lax.dot_general(
+                e, ones_n, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )[:, :1]
+            # +tiny: padded rows have e == 0 everywhere; without it p = 0/0
+            # NaNs would poison dV through the P^T g contraction
+            p = (e / (den + 1e-30)).astype(v.dtype)  # (n, n)
+            # dV = P^T g
+            dv = jax.lax.dot_general(
+                p, g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # dP = g V^T
+            dp = jax.lax.dot_general(
+                g, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # softmax backward; rowsum(dP * P) via ones-matmul
+            dpp = dp * p.astype(jnp.float32)
+            r = jax.lax.dot_general(
+                dpp, ones_n, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )[:, :1]
+            ds = (p.astype(jnp.float32) * (dp - r) * scale).astype(v.dtype)
+            dq = jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dk = jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dqkv_ref[b, :, o:o + head_dim] = dq.astype(dqkv_ref.dtype)
+            dqkv_ref[b, :, hd + o:hd + o + head_dim] = dk.astype(
+                dqkv_ref.dtype
+            )
+            dqkv_ref[b, :, 2 * hd + o:2 * hd + o + head_dim] = dv.astype(
+                dqkv_ref.dtype
+            )
+        return _
+
+    jax.lax.fori_loop(0, nb, batch_row, None)
+
+
+def fused_attention_backward_packed(
+    qkv: jnp.ndarray,
+    g: jnp.ndarray,
+    num_heads: int,
+    *,
+    scale: float | None = None,
+    block_batch: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """dL/d(qkv) for the plain-mode fused attention, as one Pallas kernel.
+
+    Args:
+      qkv: (B, N, 3*H*d) forward input (P is recomputed from it).
+      g: (B, N, H*d) cotangent of the attention output.
+
+    Returns (B, N, 3*H*d) gradient in the packed layout.
+    """
+    B, N, three_hd = qkv.shape
+    hd = three_hd // 3
+    head_dim = hd // num_heads
+    if scale is None:
+        scale = head_dim ** -0.5
+    Np = _round_up(N, 16)
+    pad = Np - N
+    if pad:
+        qkv = jnp.pad(qkv, [(0, 0), (0, pad), (0, 0)])
+        g = jnp.pad(g, [(0, 0), (0, pad), (0, 0)])
+    nb = block_batch
+    while B % nb:
+        nb //= 2
+    nb = max(nb, 1)
+    kernel = functools.partial(
+        _attn_bwd_kernel,
+        scale=scale,
+        n_valid=N,
+        num_heads=num_heads,
+        head_dim=head_dim,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // nb,),
+        in_specs=[
+            pl.BlockSpec((nb, Np, three_hd), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, Np, hd), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nb, Np, three_hd), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Np, three_hd), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * B * num_heads * Np * Np * head_dim,
+            bytes_accessed=8 * B * Np * hd * qkv.dtype.itemsize,
+            transcendentals=B * num_heads * Np * Np,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(qkv, g)
+    if pad:
+        out = out[:, :N]
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3))

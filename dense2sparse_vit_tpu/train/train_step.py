@@ -87,7 +87,11 @@ def make_train_step(
             "dropout": jax.random.fold_in(rng, 0),
             "selection": jax.random.fold_in(rng, 1),
         }
-        kwargs = dict(deterministic=False)
+        # no training loss consumes the STUDENT's per-layer CLS attentions
+        # (MaskLoss supervises with the teacher's), so skip collecting them —
+        # this keeps the fused-attention student on the plain kernel path
+        # with the fully fused backward
+        kwargs = dict(deterministic=False, collect_cls_attns=False)
         if pr.cls_from_teacher:
             kwargs["teacher_cls_attns"] = t_attns
         if pr.differentiable_topk:

@@ -96,7 +96,11 @@ class TestTrainableFusedAttention:
         import dense2sparse_vit_tpu.ops.pallas.attention as A
 
         orig = A.fused_attention_packed
+        orig_bwd = A.fused_attention_backward_packed
         A.fused_attention_packed = lambda *a, **k: orig(
+            *a, **{**k, "interpret": True}
+        )
+        A.fused_attention_backward_packed = lambda *a, **k: orig_bwd(
             *a, **{**k, "interpret": True}
         )
         try:
@@ -133,6 +137,7 @@ class TestTrainableFusedAttention:
             )
         finally:
             A.fused_attention_packed = orig
+            A.fused_attention_backward_packed = orig_bwd
 
 
 class TestClsRowOutput:
@@ -186,3 +191,30 @@ class TestClsRowOutput:
             )
         finally:
             A.fused_attention_packed = orig
+
+
+class TestFusedBackwardKernel:
+    def test_backward_kernel_matches_reference_grads(self):
+        import dense2sparse_vit_tpu.ops.pallas.attention as A
+
+        qkv = jax.random.normal(jax.random.PRNGKey(5), (B, N, 3 * H * D))
+        g = jax.random.normal(jax.random.PRNGKey(6), (B, N, H * D))
+        got = A.fused_attention_backward_packed(qkv, g, H, interpret=True)
+        _, vjp = jax.vjp(
+            lambda q: A._ref_attention_packed(q, H, None, None), qkv
+        )
+        (want,) = vjp(g)
+        assert np.isfinite(np.asarray(got)).all()
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=5e-2
+        )
+
+    def test_padded_rows_produce_no_nans(self):
+        import dense2sparse_vit_tpu.ops.pallas.attention as A
+
+        # N=13 pads to 16; padded rows must not poison gradients
+        qkv = jax.random.normal(jax.random.PRNGKey(7), (2, 13, 3 * H * D))
+        g = jnp.ones((2, 13, H * D))
+        got = A.fused_attention_backward_packed(qkv, g, H, interpret=True)
+        assert got.shape == (2, 13, 3 * H * D)
+        assert np.isfinite(np.asarray(got)).all()
