@@ -198,7 +198,9 @@ def make_eval_step(student, teacher, cfg: ExperimentConfig) -> Callable:
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-        kwargs = dict(deterministic=True)
+        # eval metrics never read the student's CLS attentions; skipping the
+        # capture keeps eval on the fused-attention fast path
+        kwargs = dict(deterministic=True, collect_cls_attns=False)
         if pr.cls_from_teacher:
             kwargs["teacher_cls_attns"] = t_attns
         if pr.selection == "random":
