@@ -24,15 +24,18 @@ from typing import Dict, Mapping, Tuple
 import numpy as np
 
 
-def resize_pos_embed(posemb: np.ndarray, n_tokens_new: int) -> np.ndarray:
-    """Bilinearly resize the (1, N_old+1, D) grid to (1, n_tokens_new, D).
+def resize_pos_embed(
+    posemb: np.ndarray, n_tokens_new: int, n_extra: int = 1
+) -> np.ndarray:
+    """Bilinearly resize the (1, N_old+n_extra, D) grid to n_tokens_new.
 
     Parity: reference resize_pos_embed (dynamic_vit.py:1178-1195) — the CLS
-    slot passes through, the spatial grid is resized as a 2D image.
+    (and dist, for distilled checkpoints) slots pass through, the spatial
+    grid is resized as a 2D image.
     """
-    tok, grid = posemb[:, :1], posemb[0, 1:]
+    tok, grid = posemb[:, :n_extra], posemb[0, n_extra:]
     gs_old = int(round(np.sqrt(grid.shape[0])))
-    gs_new = int(round(np.sqrt(n_tokens_new - 1)))
+    gs_new = int(round(np.sqrt(n_tokens_new - n_extra)))
     if gs_old == gs_new:
         return posemb
     D = grid.shape[-1]
@@ -117,7 +120,9 @@ def convert_deit_state_dict(
             skipped.append(key)
             continue
         if key == "pos_embed" and n_tokens is not None and v.shape[1] != n_tokens:
-            v = resize_pos_embed(v, n_tokens)
+            # distilled checkpoints carry CLS + dist slots ahead of the grid
+            n_extra = 2 if "dist_token" in state_dict else 1
+            v = resize_pos_embed(v, n_tokens, n_extra=n_extra)
         if key.endswith("patch_embed.proj.weight"):
             if v.ndim < 4:
                 # legacy linear patchify -> conv reshape
@@ -136,8 +141,10 @@ def convert_deit_state_dict(
 def _map_key(key: str, v: np.ndarray):
     """torch key -> flax path tuple, or None for keys we deliberately skip."""
     parts = key.split(".")
-    if key in ("cls_token", "pos_embed"):
+    if key in ("cls_token", "pos_embed", "dist_token"):
         return (key,)
+    if parts[0] == "head_dist":
+        return ("head_dist", _wb(parts[1]))
     if parts[0] == "patch_embed" and parts[1] == "proj":
         return ("patch_embed", "proj", _wb(parts[2], conv=True))
     if parts[0] == "blocks":

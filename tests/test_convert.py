@@ -214,3 +214,62 @@ class TestPosEmbedResize:
         )
         assert np.asarray(new_params["pos_embed"]).shape == (1, 65, 24)
         assert "pos_embed" in loaded
+
+
+class TestDistilledConversion:
+    def test_distilled_checkpoint_maps_dist_token_and_head(self):
+        from dense2sparse_vit_tpu.models.deit import DistilledDeiT
+
+        torch.manual_seed(1)
+        d = 24
+        model = DistilledDeiT(cfg=CFG)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))
+        )["params"]
+        sd = {
+            "cls_token": torch.randn(1, 1, d) * 0.02,
+            "dist_token": torch.randn(1, 1, d) * 0.02,
+            "pos_embed": torch.randn(1, CFG.num_patches + 2, d) * 0.02,
+            "patch_embed.proj.weight": torch.randn(d, 3, 8, 8) * 0.02,
+            "patch_embed.proj.bias": torch.zeros(d),
+            "norm.weight": torch.ones(d),
+            "norm.bias": torch.zeros(d),
+            "head.weight": torch.randn(5, d) * 0.02,
+            "head.bias": torch.zeros(5),
+            "head_dist.weight": torch.randn(5, d) * 0.02,
+            "head_dist.bias": torch.zeros(5),
+        }
+        for i in range(CFG.depth):
+            p = f"blocks.{i}."
+            sd.update({
+                p + "norm1.weight": torch.ones(d),
+                p + "norm1.bias": torch.zeros(d),
+                p + "attn.qkv.weight": torch.randn(3 * d, d) * 0.02,
+                p + "attn.qkv.bias": torch.zeros(3 * d),
+                p + "attn.proj.weight": torch.randn(d, d) * 0.02,
+                p + "attn.proj.bias": torch.zeros(d),
+                p + "norm2.weight": torch.ones(d),
+                p + "norm2.bias": torch.zeros(d),
+                p + "mlp.fc1.weight": torch.randn(4 * d, d) * 0.02,
+                p + "mlp.fc1.bias": torch.zeros(4 * d),
+                p + "mlp.fc2.weight": torch.randn(d, 4 * d) * 0.02,
+                p + "mlp.fc2.bias": torch.zeros(d),
+            })
+        sd = {k: v.numpy() for k, v in sd.items()}
+        new_params, loaded, skipped = convert_deit_state_dict(sd, params)
+        assert not skipped
+        np.testing.assert_allclose(
+            np.asarray(new_params["dist_token"]), sd["dist_token"]
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_params["head_dist"]["kernel"]),
+            sd["head_dist.weight"].T,
+        )
+
+    def test_distilled_pos_embed_resize_preserves_two_slots(self):
+        pe = np.random.default_rng(2).normal(size=(1, 2 + 16, 6)).astype(
+            np.float32
+        )
+        out = resize_pos_embed(pe, 2 + 49, n_extra=2)
+        assert out.shape == (1, 51, 6)
+        np.testing.assert_array_equal(out[:, :2], pe[:, :2])
