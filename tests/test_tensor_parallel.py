@@ -69,3 +69,44 @@ class TestTPNumerics:
         # qkv kernels really are distributed over the model axis
         qkv = params_tp["blocks_0"]["attn"]["qkv"]["kernel"]
         assert qkv.sharding.spec == P(None, "model")
+
+
+class TestParallelHelpers:
+    def test_host_local_batch(self):
+        from dense2sparse_vit_tpu.parallel import host_local_batch
+        import pytest as _pytest
+
+        mesh = make_mesh()
+        assert host_local_batch(64, mesh) == 8
+        with _pytest.raises(ValueError):
+            host_local_batch(63, mesh)
+
+    def test_all_reduce_mean_under_shard_map(self):
+        from functools import partial
+
+        from jax.experimental.shard_map import shard_map
+
+        from dense2sparse_vit_tpu.parallel import all_reduce_mean
+
+        mesh = make_mesh()
+        x = jnp.arange(8.0)
+
+        @partial(
+            shard_map, mesh=mesh, in_specs=P("data"), out_specs=P("data")
+        )
+        def f(xs):
+            return all_reduce_mean({"v": xs})["v"]
+
+        out = f(x)
+        np.testing.assert_allclose(np.asarray(out), np.full(8, 3.5))
+
+    def test_batch_and_replicated_shardings(self):
+        from dense2sparse_vit_tpu.parallel import (
+            batch_sharding,
+            replicated_sharding,
+        )
+
+        mesh = make_mesh()
+        bs = batch_sharding(mesh, ndim=2)
+        assert bs.spec == P("data", None)
+        assert replicated_sharding(mesh).spec == P()
