@@ -177,6 +177,10 @@ class TrainConfig:
     # backbone lr cap factor after warmup: backbone_lr = min(lr*0.01, cos_lr)
     # (utils.py:127)
     backbone_lr_scale: float = 0.01
+    # gradient accumulation: average grads over this many micro-steps before
+    # each optimizer update (effective batch = batch_size * grad_accum_steps;
+    # no reference counterpart — single-chip lever for large batches)
+    grad_accum_steps: int = 1
     seed: int = 42
 
     def replace(self, **kw) -> "TrainConfig":

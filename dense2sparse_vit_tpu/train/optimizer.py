@@ -78,7 +78,7 @@ def make_optimizer(
             weight_decay=wd,
         )
 
-    return optax.multi_transform(
+    tx = optax.multi_transform(
         {
             "predictor": adamw(pred_sched, cfg.weight_decay),
             # reference's early-exit lr is defective dead code (utils.py:133
@@ -91,3 +91,8 @@ def make_optimizer(
         },
         label_params,
     )
+    if cfg.grad_accum_steps > 1:
+        # grads averaged over k micro-steps per update; the inner schedules
+        # count UPDATES, so steps_per_epoch should then be updates per epoch
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
+    return tx

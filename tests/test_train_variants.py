@@ -128,3 +128,48 @@ class TestRemat:
             results[False][0], results[True][0],
         )
         assert max(jax.tree_util.tree_leaves(diffs)) < 1e-6
+
+
+class TestGradAccumulation:
+    def test_two_micro_steps_equal_one_double_batch_step(self):
+        pr = PruningConfig(pruning_locs=(1,), keep_ratios=(0.5,))
+        imgs2 = jax.random.normal(jax.random.PRNGKey(9), (B, 16, 16, 3))
+        labels2 = jax.random.randint(jax.random.PRNGKey(10), (B,), 0, 5)
+        big_imgs = jnp.concatenate([IMGS, imgs2])
+        big_labels = jnp.concatenate([LABELS, labels2])
+
+        def build(accum):
+            cfg = ExperimentConfig(
+                model=TINY, pruning=pr,
+                train=TrainConfig(
+                    batch_size=B, epochs=4, warmup_epochs=0,
+                    grad_accum_steps=accum,
+                ),
+            )
+            student = DiffPruningStudent(cfg=TINY, pruning=pr)
+            teacher = ViTTeacher(cfg=TINY)
+            tx = make_optimizer(cfg.train, steps_per_epoch=1)
+            state = create_train_state(
+                student, tx, jax.random.PRNGKey(2), IMGS[:1]
+            )
+            tparams = teacher.init(jax.random.PRNGKey(3), IMGS[:1])["params"]
+            return jax.jit(make_train_step(student, teacher, tx, cfg)), \
+                state, tparams
+
+        # two accumulated micro-steps (dropout off via drop rates = 0)
+        step_a, state_a, tparams = build(2)
+        key = jax.random.PRNGKey(4)
+        state_a, _ = step_a(state_a, tparams, IMGS, LABELS, key, jnp.float32(1.0))
+        state_a, _ = step_a(state_a, tparams, imgs2, labels2, key, jnp.float32(1.0))
+
+        # one step on the concatenated batch, no accumulation
+        step_b, state_b, _ = build(1)
+        state_b, _ = step_b(
+            state_b, tparams, big_imgs, big_labels, key, jnp.float32(1.0)
+        )
+
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            state_a.params, state_b.params,
+        )
+        assert max(jax.tree_util.tree_leaves(diffs)) < 2e-5
