@@ -49,7 +49,10 @@ class _NormAct(nn.Module):
                 name="norm",
             )(x)
         else:
-            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+            # torch nn.LayerNorm default eps (the predictor omits the
+            # backbone's eps=1e-6 override, dynamic_vit.py:410-424)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                             use_fast_variance=False, name="norm")(x)
         x = nn.Dense(
             self.features, dtype=self.dtype,
             kernel_init=trunc_normal_init, name="dense",
@@ -114,7 +117,8 @@ class PredictorLG(nn.Module):
                 name="final_norm",
             )(x)
         else:
-            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="final_norm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                             use_fast_variance=False, name="final_norm")(x)
         scores = nn.Dense(
             1, dtype=self.dtype, kernel_init=trunc_normal_init, name="final_dense"
         )(x)[..., 0]  # (B, N)
@@ -177,17 +181,17 @@ class PredictorReconstructor(nn.Module):
         d = self.embed_dim
 
         def mlp_stack(h, name):
-            h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                              name=f"{name}_norm0")(h)
             h = nn.Dense(2 * d, dtype=self.dtype,
                          kernel_init=trunc_normal_init, name=f"{name}_fc0")(h)
             h = nn.gelu(h, approximate=False)
-            h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                              name=f"{name}_norm1")(h)
             h = nn.Dense(2 * d, dtype=self.dtype,
                          kernel_init=trunc_normal_init, name=f"{name}_fc1")(h)
             h = nn.gelu(h, approximate=False)
-            h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                              name=f"{name}_norm2")(h)
             return nn.Dense(d, dtype=self.dtype,
                             kernel_init=trunc_normal_init, name=f"{name}_fc2")(h)

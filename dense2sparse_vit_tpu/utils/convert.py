@@ -138,6 +138,128 @@ def convert_deit_state_dict(
     return out, loaded, skipped
 
 
+def convert_student_state_dict(
+    state_dict: Mapping[str, np.ndarray],
+    variables,
+    strict: bool = False,
+) -> Tuple[Dict, list, list]:
+    """Map a reference VisionTransformerDiffPruning state_dict onto the
+    DiffPruningStudent variables.
+
+    Extends convert_deit_state_dict with the student-only modules:
+      score_predictor.{p}.{in_conv,out_conv}.{m}[.bn].*   (PredictorLG,
+        dynamic_vit.py:370-560; norm/dense pairs at sequential indices
+        3j / 3j+1, the last out_conv pair being the final norm + 1-unit head)
+      early_exit_head.{0,1}.*                              (dynamic_vit.py:752-758)
+    BatchNorm running statistics land in the 'batch_stats' collection.
+
+    Args:
+      variables: either a bare params dict or a full flax variables dict
+        {'params': ..., 'batch_stats': ...}; same structure is returned.
+
+    Returns:
+      (new_variables, loaded_keys, skipped_keys).
+    """
+    import copy
+
+    if "model" in state_dict and not hasattr(state_dict["model"], "shape"):
+        state_dict = state_dict["model"]
+
+    has_collections = "params" in variables and isinstance(
+        variables["params"], Mapping
+    )
+    params = variables["params"] if has_collections else variables
+    batch_stats = variables.get("batch_stats") if has_collections else None
+
+    backbone, special = {}, {}
+    for k, v in state_dict.items():
+        if k.startswith("score_predictor.") or k.startswith("early_exit_head."):
+            special[k] = np.asarray(v)
+        else:
+            backbone[k] = v
+
+    new_params, loaded, skipped = convert_deit_state_dict(
+        backbone, params, strict
+    )
+    new_stats = None
+    if batch_stats is not None:
+        new_stats = copy.deepcopy(
+            _unflatten(
+                {k: np.asarray(v) for k, v in _to_plain_dict(batch_stats).items()}
+            )
+        )
+
+    # number of out_conv (norm, dense) pairs per predictor — the final pair
+    # maps to final_norm/final_dense instead of out_{j}
+    out_pairs: Dict[int, int] = {}
+    for k in special:
+        parts = k.split(".")
+        if parts[0] == "score_predictor" and parts[2] == "out_conv":
+            p, j = int(parts[1]), int(parts[3]) // 3
+            out_pairs[p] = max(out_pairs.get(p, 0), j + 1)
+
+    for k, v in special.items():
+        path, collection, transpose = _map_student_key(k, out_pairs)
+        if path is None:
+            skipped.append(k)
+            continue
+        tgt = new_stats if collection == "batch_stats" else new_params
+        if tgt is None:  # BN stats but model has no batch_stats collection
+            skipped.append(k)
+            continue
+        if transpose:
+            v = v.T
+        ok = _set(tgt, path, v, strict)
+        (loaded if ok else skipped).append(k)
+
+    if has_collections:
+        out_vars = dict(variables)
+        out_vars["params"] = new_params
+        if new_stats is not None:
+            out_vars["batch_stats"] = new_stats
+        return out_vars, loaded, skipped
+    return new_params, loaded, skipped
+
+
+def _map_student_key(key: str, out_pairs: Dict[int, int]):
+    """torch student-module key -> (flax path, collection, transpose)."""
+    parts = key.split(".")
+    if parts[0] == "early_exit_head":
+        # Sequential(norm_layer, Linear) (dynamic_vit.py:755-758)
+        idx, leaf = int(parts[1]), parts[2]
+        if idx == 0:
+            return ("early_exit_norm", _ln(leaf)), "params", False
+        return ("early_exit_head", _wb(leaf)), "params", leaf == "weight"
+
+    # score_predictor.{p}.{conv}.{m}[.bn].{leaf}
+    p, conv, m = int(parts[1]), parts[2], int(parts[3])
+    rest = parts[4:]
+    j, pos = m // 3, m % 3  # Sequential repeats (norm, dense, act)
+    pred = f"score_predictor_{p}"
+    is_final = conv == "out_conv" and j == out_pairs.get(p, 0) - 1
+    unit = f"in_{j}" if conv == "in_conv" else f"out_{j}"
+
+    if rest[0] == "bn":  # BatchNormLayer wrapper (dynamic_vit.py:350-367)
+        leaf = rest[1]
+        if leaf == "num_batches_tracked":
+            return None, None, False
+        norm_path = (
+            (pred, "final_norm") if (is_final and pos == 0) else (pred, unit, "norm")
+        )
+        if leaf in ("running_mean", "running_var"):
+            name = "mean" if leaf == "running_mean" else "var"
+            return norm_path + (name,), "batch_stats", False
+        return norm_path + (_ln(leaf),), "params", False
+
+    leaf = rest[0]
+    if pos == 0:  # LayerNorm
+        norm_path = (pred, "final_norm") if is_final else (pred, unit, "norm")
+        return norm_path + (_ln(leaf),), "params", False
+    if is_final:  # final 1-unit Dense
+        return (pred, "final_dense", _wb(leaf)), "params", leaf == "weight"
+    return (pred, unit, "dense", _wb(leaf)), "params", leaf == "weight"
+
+
 def _map_key(key: str, v: np.ndarray):
     """torch key -> flax path tuple, or None for keys we deliberately skip."""
     parts = key.split(".")
