@@ -181,6 +181,9 @@ class TrainConfig:
     # each optimizer update (effective batch = batch_size * grad_accum_steps;
     # no reference counterpart — single-chip lever for large batches)
     grad_accum_steps: int = 1
+    # in-epoch progress cadence: print/log running-mean train metrics every
+    # N steps (reference prints every 10/400 steps, train.py:59-62)
+    log_every_steps: int = 400
     seed: int = 42
 
     def replace(self, **kw) -> "TrainConfig":
@@ -193,6 +196,9 @@ class DataConfig:
 
     imgnet_val_dir: str = "/data/imagenet/val"
     num_classes: int = 1000
+    # host-side decode parallelism (torch DataLoader num_workers parity,
+    # mask_predictor.py:249-259); 0 = in-process
+    num_workers: int = 0
     # augmentation
     color_jitter: float = 0.4
     auto_augment: str = "rand-m9-mstd0.5-inc1"

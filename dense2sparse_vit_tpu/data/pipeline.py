@@ -71,8 +71,14 @@ def _normalize(arr: np.ndarray, cfg: DataConfig) -> np.ndarray:
     return (arr - mean) / std
 
 
-def eval_transform(cfg: DataConfig) -> Callable:
-    """Resize(short side = eval_resize, bicubic) -> CenterCrop -> Normalize."""
+def eval_transform(cfg: DataConfig, normalize: bool = True) -> Callable:
+    """Resize(short side = eval_resize, bicubic) -> CenterCrop -> Normalize.
+
+    With normalize=False the transform returns uint8 HWC arrays — the
+    decoded-uint8 form used by the loader's cache and by batch-level
+    normalization (one fused native-kernel pass per batch instead of one
+    per image).
+    """
 
     def tf(img: Image.Image) -> np.ndarray:
         w, h = img.size
@@ -85,7 +91,8 @@ def eval_transform(cfg: DataConfig) -> Callable:
         c = cfg.eval_crop
         left, top = (w - c) // 2, (h - c) // 2
         img = img.crop((left, top, left + c, top + c))
-        return _normalize(np.asarray(img), cfg)
+        arr = np.asarray(img)
+        return _normalize(arr, cfg) if normalize else arr
 
     return tf
 
@@ -131,6 +138,26 @@ def train_transform(cfg: DataConfig, seed: int = 0) -> Callable:
     return tf
 
 
+# fork-shared dataset handle for pool workers (copy-on-write: the index and
+# transform close over into children at fork time, no pickling per task)
+_WORKER_DATASET = None
+
+
+def _pool_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _load_batch(sel):
+    imgs, labels = [], []
+    for i in sel:
+        x, y = _WORKER_DATASET[int(i)]
+        imgs.append(x)
+        labels.append(y)
+    batch = np.stack(imgs)
+    return batch, np.asarray(labels, np.int32)
+
+
 def make_loader(
     dataset: ImageFolder,
     batch_size: int,
@@ -140,14 +167,70 @@ def make_loader(
     drop_last: bool = True,
     indices: Optional[Sequence[int]] = None,
     prefetch: int = 2,
+    num_workers: int = 0,
+    normalize_cfg: Optional[DataConfig] = None,
+    cache_decoded: bool = False,
 ) -> Callable[[], Iterator[Tuple[np.ndarray, np.ndarray]]]:
-    """Batch iterator factory with a background prefetch thread.
+    """Batch iterator factory with parallel decode and prefetch.
 
-    Replaces torch DataLoader (mask_predictor.py:249-259). Returns a callable
-    producing a fresh epoch iterator; pass `indices` for subset sampling (the
-    80/20 SubsetRandomSampler split, mask_predictor.py:239-246).
+    Replaces torch's multi-worker DataLoader (mask_predictor.py:249-259).
+    Returns a callable producing a fresh epoch iterator; pass `indices` for
+    subset sampling (the 80/20 SubsetRandomSampler split,
+    mask_predictor.py:239-246).
+
+    Args:
+      num_workers: >0 forks a multiprocessing pool; each task decodes one
+        full batch (JPEG decode + PIL transforms are the host bottleneck —
+        the GIL serializes them in threads, processes don't).
+      normalize_cfg: when the dataset transform yields uint8 (e.g.
+        eval_transform(cfg, normalize=False)), normalize per BATCH with the
+        fused native kernel — one pass over contiguous memory instead of
+        one per image.
+      cache_decoded: keep decoded uint8 samples in one preallocated host
+        array; epochs after the first skip JPEG decode entirely. Memory:
+        N * H * W * 3 bytes (ImageNet-val at 224 ≈ 7.5 GB — size the host
+        accordingly). Requires a uint8-producing transform. Augmenting
+        train transforms must NOT be cached (they are sampled per epoch);
+        only deterministic transforms qualify.
     """
     idx = np.asarray(indices if indices is not None else np.arange(len(dataset)))
+
+    cache: dict = {}
+    if cache_decoded:
+        probe = dataset[int(idx[0])][0]
+        if probe.dtype != np.uint8:
+            raise ValueError(
+                "cache_decoded requires a uint8 transform "
+                "(eval_transform(cfg, normalize=False))"
+            )
+        cache["store"] = np.empty((len(dataset),) + probe.shape, np.uint8)
+        cache["filled"] = np.zeros(len(dataset), bool)
+        cache["labels"] = np.empty(len(dataset), np.int32)
+
+    pool = None
+    if num_workers > 0:
+        import atexit
+        import multiprocessing as mp
+
+        pool = mp.get_context("fork").Pool(
+            num_workers, initializer=_pool_init, initargs=(dataset,)
+        )
+        # terminate before interpreter shutdown: Pool.__del__ during final GC
+        # trips on already-closed pipe fds otherwise
+        atexit.register(pool.terminate)
+
+    def finalize(batch, labels):
+        if normalize_cfg is not None and batch.dtype == np.uint8:
+            batch = _normalize(batch, normalize_cfg)
+        return batch.astype(np.float32, copy=False), labels
+
+    def load_cached(sel):
+        store, filled, lab = cache["store"], cache["filled"], cache["labels"]
+        missing = [int(i) for i in sel if not filled[i]]
+        for i in missing:
+            x, y = dataset[i]
+            store[i], lab[i], filled[i] = x, y, True
+        return store[sel], lab[sel]
 
     def epoch_iter():
         order = idx.copy()
@@ -159,25 +242,28 @@ def make_loader(
             if drop_last
             else -(-len(order) // batch_size)
         )
+        sels = [
+            order[b * batch_size:(b + 1) * batch_size]
+            for b in range(n_batches)
+        ]
         q: queue_mod.Queue = queue_mod.Queue(maxsize=prefetch)
 
-        def worker():
-            for b in range(n_batches):
-                sel = order[b * batch_size:(b + 1) * batch_size]
-                imgs, labels = [], []
-                for i in sel:
-                    x, y = dataset[int(i)]
-                    imgs.append(x)
-                    labels.append(y)
-                q.put(
-                    (
-                        np.stack(imgs).astype(np.float32),
-                        np.asarray(labels, np.int32),
-                    )
-                )
+        def feeder():
+            if cache_decoded:
+                for sel in sels:
+                    q.put(finalize(*load_cached(sel)))
+            elif pool is not None:
+                # imap keeps batch order; the pool decodes several batches
+                # ahead, bounded by the queue
+                for batch, labels in pool.imap(_load_batch, sels):
+                    q.put(finalize(batch, labels))
+            else:
+                for sel in sels:
+                    _pool_init(dataset)
+                    q.put(finalize(*_load_batch(sel)))
             q.put(None)
 
-        t = threading.Thread(target=worker, daemon=True)
+        t = threading.Thread(target=feeder, daemon=True)
         t.start()
         while True:
             item = q.get()

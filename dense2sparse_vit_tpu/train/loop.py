@@ -83,15 +83,18 @@ def run_experiment(
     )
     train_loader = make_loader(
         ds_train, cfg.train.batch_size, shuffle=True, seed=cfg.train.seed,
-        indices=tr_idx,
+        indices=tr_idx, num_workers=cfg.data.num_workers,
     )
     # val batch: largest multiple of the mesh data-axis size that fits —
     # static shapes require full batches, but tiny val sets must still eval
     mesh_n = mesh.shape["data"]
     val_bs = min(cfg.train.batch_size, len(va_idx))
     val_bs = max((val_bs // mesh_n) * mesh_n, mesh_n)
+    # keep the tail batch: it is padded below (label -1) so every val image
+    # is counted exactly once — the reference's drop_last skipped the tail
     val_loader = make_loader(
-        ds_val, val_bs, indices=va_idx, drop_last=True
+        ds_val, val_bs, indices=va_idx, drop_last=False,
+        num_workers=cfg.data.num_workers,
     )
     steps_per_epoch = max(len(tr_idx) // cfg.train.batch_size, 1)
     if max_steps_per_epoch:
@@ -140,9 +143,14 @@ def run_experiment(
     )
     best_acc = 0.0
 
+    log_every = max(cfg.train.log_every_steps, 1)
+
     for epoch in range(start_epoch, cfg.train.epochs):
         t0 = time.time()
-        epoch_metrics = {}
+        # running means across the epoch (reference losses.py:111-117,
+        # train.py:76-83 accumulate into a shared metrics dict); sums stay
+        # on device, fetched at the logging cadence
+        metric_sum, n_steps = None, 0
         for step_i, (xb, yb) in enumerate(train_loader()):
             if step_i >= steps_per_epoch:
                 break
@@ -154,28 +162,55 @@ def run_experiment(
             state, metrics = train_step(
                 state, teacher_params, xb, yb, key, jnp.float32(epoch)
             )
-            epoch_metrics = metrics
-        logger.log(
-            {k: v for k, v in jax.device_get(epoch_metrics).items()},
-            epoch, prefix="train",
-        )
+            metric_sum = (
+                metrics if metric_sum is None
+                else jax.tree.map(jnp.add, metric_sum, metrics)
+            )
+            n_steps += 1
+            if n_steps % log_every == 0:
+                # in-epoch progress channel (reference prints every 10/400
+                # steps, train.py:59-62)
+                running = {
+                    k: float(v) / n_steps
+                    for k, v in jax.device_get(metric_sum).items()
+                }
+                logger.log(
+                    running, int(state.step), prefix="train_step"
+                )
+                print(
+                    f"epoch {epoch} step {step_i + 1}/{steps_per_epoch} "
+                    f"loss {running.get('loss', float('nan')):.4f}",
+                    flush=True,
+                )
+        if metric_sum is not None:
+            epoch_means = {
+                k: float(v) / n_steps
+                for k, v in jax.device_get(metric_sum).items()
+            }
+            logger.log(epoch_means, epoch, prefix="train")
 
-        # eval (evaluate_performance parity)
-        agg, n_batches = {}, 0
+        # eval (evaluate_performance parity); tail batch padded with
+        # label -1 so coverage is exact — aggregation weights by n_valid
+        agg, total_valid = {}, 0.0
         viz_batch = None
         for xb, yb in val_loader():
+            if len(yb) < val_bs:
+                pad = val_bs - len(yb)
+                xb = np.concatenate([xb, np.repeat(xb[:1], pad, axis=0)])
+                yb = np.concatenate([yb, np.full((pad,), -1, yb.dtype)])
             xb = jax.device_put(jnp.asarray(xb), img_sh)
             yb = jax.device_put(jnp.asarray(yb), data_sh)
             m = eval_step(
                 state.params, state.batch_stats, teacher_params, xb, yb
             )
+            w = float(m.pop("n_valid"))
             for k, v in m.items():
-                agg[k] = agg.get(k, 0.0) + float(v)
-            n_batches += 1
+                agg[k] = agg.get(k, 0.0) + float(v) * w
+            total_valid += w
             if viz_batch is None:
                 viz_batch = (xb, yb)
-        if n_batches:
-            agg = {k: v / n_batches for k, v in agg.items()}
+        if total_valid:
+            agg = {k: v / total_valid for k, v in agg.items()}
             logger.log(agg, epoch, prefix="val")
             acc = agg.get("val_acc", 0.0)
             if ckpt.save_if_best(int(state.step), jax.device_get(state), acc):

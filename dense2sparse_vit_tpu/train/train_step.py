@@ -188,10 +188,24 @@ def make_eval_step(student, teacher, cfg: ExperimentConfig) -> Callable:
 
     Returns (state-free): (params, batch_stats, teacher_params, images,
     labels) -> metrics.
+
+    Padded rows (label == -1) are excluded from every accuracy/CE metric —
+    the loop pads the final val batch instead of dropping it, so all 50 000
+    val images are counted (the reference's drop_last silently skipped
+    50000 % batch_size images). Metrics come with an 'n_valid' entry for
+    weighted cross-batch aggregation.
     """
     pr = cfg.pruning
 
     def eval_step(params, batch_stats, teacher_params, images, labels):
+        valid = (labels >= 0).astype(jnp.float32)
+        n_valid = jnp.maximum(jnp.sum(valid), 1.0)
+        labels = jnp.maximum(labels, 0)
+
+        def macc(pred_logits):
+            hit = (jnp.argmax(pred_logits, -1) == labels).astype(jnp.float32)
+            return jnp.sum(hit * valid) / n_valid
+
         t_logits, t_tokens, t_attns = teacher.apply(
             {"params": teacher_params}, images, deterministic=True
         )
@@ -216,17 +230,18 @@ def make_eval_step(student, teacher, cfg: ExperimentConfig) -> Callable:
             loss_type=pr.mask_loss_type,
             mean_heads=pr.mean_heads,
         )
-        ce = cross_entropy(out.logits.astype(jnp.float32), labels)
-        acc = jnp.mean(jnp.argmax(out.logits, -1) == labels)
-        acc_unpruned = jnp.mean(jnp.argmax(out_unpruned.logits, -1) == labels)
-        acc_teacher = jnp.mean(jnp.argmax(t_logits, -1) == labels)
+        # per-sample CE, masked mean over valid rows
+        logp = jax.nn.log_softmax(out.logits.astype(jnp.float32), axis=-1)
+        ce_per = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+        ce = jnp.sum(ce_per * valid) / n_valid
         metrics = {
             **{f"val_{k}": v for k, v in m_metrics.items()},
             "val_loss": m_loss + ce,
             "val_cls_loss": ce,
-            "val_acc": acc,
-            "unpruned_acc": acc_unpruned,
-            "teacher_acc": acc_teacher,
+            "val_acc": macc(out.logits),
+            "unpruned_acc": macc(out_unpruned.logits),
+            "teacher_acc": macc(t_logits),
+            "n_valid": n_valid,
         }
         if out.keep_ratios is not None:
             # threshold mode keep-ratio stats (evaluate.py:53-63)

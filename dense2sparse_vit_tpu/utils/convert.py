@@ -260,6 +260,169 @@ def _map_student_key(key: str, out_pairs: Dict[int, int]):
     return (pred, unit, "dense", _wb(leaf)), "params", leaf == "weight"
 
 
+def convert_t2t_state_dict(
+    state_dict: Mapping[str, np.ndarray],
+    params,
+    strict: bool = False,
+) -> Tuple[Dict, list, list]:
+    """Map a T2T-ViT torch checkpoint onto a T2TViT params pytree.
+
+    Handles the published tarball layout ({'state_dict_ema': ...},
+    t2t_vit.py:186-277) and the tokens_to_token stem:
+      attention{1,2} as Token_performer (kqv/proj/norm1/norm2/mlp.0/mlp.2 +
+      frozen random-feature matrix w -> prm_w, token_performer.py:8-29) or
+      Token_transformer (norm1/attn.qkv/attn.proj/norm2/mlp.fc1/fc2,
+      token_transformer.py:45-60), project Linear, or the 3-conv stem
+      (t2t_vit.py:74-79). The fixed sinusoid pos_embed (t2t_vit.py:119) is
+      deliberately skipped — ours is computed, not stored.
+    Backbone blocks/norm/head reuse the DeiT mapping.
+    """
+    import copy
+
+    for wrapper in ("state_dict_ema", "model", "state_dict"):
+        if wrapper in state_dict and not hasattr(state_dict[wrapper], "shape"):
+            state_dict = state_dict[wrapper]
+
+    out = copy.deepcopy(
+        _unflatten({k: np.asarray(v) for k, v in _to_plain_dict(params).items()})
+    )
+    loaded, skipped = [], []
+    for key, v in state_dict.items():
+        v = np.asarray(v)
+        path, transform = _map_t2t_key(key, v)
+        if path is None:
+            skipped.append(key)
+            continue
+        if transform == "T":
+            v = v.T
+        elif transform == "conv":
+            v = v.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+        ok = _set(out, path, v, strict)
+        (loaded if ok else skipped).append(key)
+    return out, loaded, skipped
+
+
+def _map_t2t_key(key: str, v: np.ndarray):
+    """T2T torch key -> (flax path, transform) with transform in
+    (None, 'T', 'conv')."""
+    parts = key.split(".")
+    if key == "cls_token":
+        return ("cls_token",), None
+    if key == "pos_embed":
+        return None, None  # fixed sinusoid table, computed in the model
+    if parts[0] == "tokens_to_token":
+        t2t = ("tokens_to_token",)
+        sub = parts[1]
+        if sub == "project":
+            if v.ndim == 4:  # convolution stem's 3rd conv
+                return t2t + ("conv_2", _wb(parts[2], conv=True)), "conv"
+            return (
+                t2t + ("project", _wb(parts[2])),
+                "T" if parts[2] == "weight" else None,
+            )
+        if sub in ("soft_split0", "soft_split1"):
+            # only the convolution stem has parameters here (nn.Unfold has
+            # none); conv index 0/1 respectively
+            idx = "conv_0" if sub == "soft_split0" else "conv_1"
+            return t2t + (idx, _wb(parts[2], conv=True)), "conv"
+        if sub in ("attention1", "attention2"):
+            rest = parts[2:]
+            unit = t2t + (sub,)
+            if rest[0] == "w":  # performer frozen projection -> prm_w
+                return unit + ("prm_w",), None
+            if rest[0] in ("norm1", "norm2"):
+                return unit + (rest[0], _ln(rest[1])), None
+            if rest[0] in ("kqv", "proj"):  # performer linears
+                return (
+                    unit + (rest[0], _wb(rest[1])),
+                    "T" if rest[1] == "weight" else None,
+                )
+            if rest[0] == "attn":  # transformer unit: attn.qkv / attn.proj
+                return (
+                    unit + (rest[1], _wb(rest[2])),
+                    "T" if rest[2] == "weight" else None,
+                )
+            if rest[0] == "mlp":
+                if rest[1] in ("fc1", "fc2"):  # transformer unit Mlp
+                    return (
+                        unit + ("mlp", rest[1], _wb(rest[2])),
+                        "T" if rest[2] == "weight" else None,
+                    )
+                # performer Sequential: mlp.0 / mlp.2 are the linears
+                name = {"0": "mlp_fc1", "2": "mlp_fc2"}.get(rest[1])
+                if name is None:
+                    return None, None
+                return (
+                    unit + (name, _wb(rest[2])),
+                    "T" if rest[2] == "weight" else None,
+                )
+        return None, None
+    # backbone: blocks.N / norm / head — same layout as DeiT
+    path = _map_key(key, v)
+    if path is None:
+        return None, None
+    transform = "T" if (key.endswith(".weight") and v.ndim == 2) else None
+    return path, transform
+
+
+def convert_dino_state_dict(
+    state_dict: Mapping[str, np.ndarray],
+    params,
+    strict: bool = False,
+) -> Tuple[Dict, list, list]:
+    """Map a DINO torch checkpoint onto DINOViT / DINODistilledViT /
+    DINOPredictorViT params.
+
+    DINO checkpoints (dino.py:527-533) are HEADLESS (self-supervised: no
+    'head.*' keys — the flax head keeps its initialization, mirroring the
+    reference's strict=False load) and otherwise DeiT-shaped; the
+    shape-distilled release (dino.py:609-615) arrives wrapped in {'model':
+    ...} with cls+dist tokens — both handled by the DeiT mapping. The
+    pruning predictor (dino.py:340-366: in_conv LN+Linear, out_conv three
+    Linears at Sequential indices 0/2/4) maps onto _DinoPredictor.
+    """
+    import copy
+
+    if "model" in state_dict and not hasattr(state_dict["model"], "shape"):
+        state_dict = state_dict["model"]
+    if "teacher" in state_dict and not hasattr(state_dict["teacher"], "shape"):
+        # full DINO training checkpoints carry student+teacher nets; the
+        # released backbones are the teacher weights
+        state_dict = {
+            k.removeprefix("backbone."): v
+            for k, v in state_dict["teacher"].items()
+            if k.startswith("backbone.")
+        }
+
+    backbone, special = {}, {}
+    for k, v in state_dict.items():
+        if k.startswith("predictor."):
+            special[k] = np.asarray(v)
+        else:
+            backbone[k] = v
+    out, loaded, skipped = convert_deit_state_dict(backbone, params, strict)
+
+    pred_map = {
+        "in_conv.0": ("in_norm", _ln),
+        "in_conv.1": ("in_dense", _wb),
+        "out_conv.0": ("out_0", _wb),
+        "out_conv.2": ("out_1", _wb),
+        "out_conv.4": ("out_2", _wb),
+    }
+    for k, v in special.items():
+        parts = k.split(".")
+        sub, leaf = ".".join(parts[1:3]), parts[3]
+        if sub not in pred_map:
+            skipped.append(k)
+            continue
+        name, leaf_fn = pred_map[sub]
+        if leaf == "weight" and v.ndim == 2:
+            v = v.T
+        ok = _set(out, ("predictor", name, leaf_fn(leaf)), v, strict)
+        (loaded if ok else skipped).append(k)
+    return out, loaded, skipped
+
+
 def _map_key(key: str, v: np.ndarray):
     """torch key -> flax path tuple, or None for keys we deliberately skip."""
     parts = key.split(".")

@@ -162,3 +162,49 @@ class TestSplits:
         n01_val = os.listdir(tmp_path / "val" / "n01")
         assert len(n01_train) == 3 and len(n01_val) == 1
         assert set(n01_train) | set(n01_val) == {"0.jpg", "1.jpg", "2.jpg", "3.jpg"}
+
+
+class TestParallelLoader:
+    """VERDICT #4: multiprocess decode, uint8 cache, batch normalization."""
+
+    def test_multiprocess_matches_inprocess(self, folder):
+        ds = ImageFolder(folder, eval_transform(CFG))
+        ref = list(make_loader(ds, batch_size=4)())
+        par = list(make_loader(ds, batch_size=4, num_workers=2)())
+        assert len(ref) == len(par)
+        for (x0, y0), (x1, y1) in zip(ref, par):
+            np.testing.assert_array_equal(y0, y1)
+            np.testing.assert_allclose(x0, x1, rtol=0, atol=0)
+
+    def test_uint8_batch_normalize_matches_per_image(self, folder):
+        ds_f32 = ImageFolder(folder, eval_transform(CFG))
+        ds_u8 = ImageFolder(folder, eval_transform(CFG, normalize=False))
+        ref = list(make_loader(ds_f32, batch_size=4)())
+        got = list(make_loader(ds_u8, batch_size=4, normalize_cfg=CFG)())
+        for (x0, y0), (x1, y1) in zip(ref, got):
+            np.testing.assert_allclose(x0, x1, rtol=1e-6, atol=1e-6)
+
+    def test_cache_decoded_second_epoch_identical(self, folder):
+        ds = ImageFolder(folder, eval_transform(CFG, normalize=False))
+        loader = make_loader(
+            ds, batch_size=4, cache_decoded=True, normalize_cfg=CFG
+        )
+        e1 = list(loader())
+        e2 = list(loader())
+        for (x0, y0), (x1, y1) in zip(e1, e2):
+            np.testing.assert_array_equal(x0, x1)
+            np.testing.assert_array_equal(y0, y1)
+
+    def test_cache_requires_uint8(self, folder):
+        ds = ImageFolder(folder, eval_transform(CFG))
+        with pytest.raises(ValueError, match="uint8"):
+            make_loader(ds, batch_size=4, cache_decoded=True)
+
+    def test_drop_last_false_yields_tail(self, folder):
+        ds = ImageFolder(folder, eval_transform(CFG))
+        batches = list(make_loader(ds, batch_size=5, drop_last=False)())
+        assert [len(b[1]) for b in batches] == [5, 5, 2]
+        batches = list(
+            make_loader(ds, batch_size=5, drop_last=False, num_workers=2)()
+        )
+        assert [len(b[1]) for b in batches] == [5, 5, 2]

