@@ -19,6 +19,7 @@ Parity: reference deit.py (/root/reference/vit_models/deit.py):
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Tuple
 
 import flax.linen as nn
@@ -56,6 +57,15 @@ def interpolate_pos_encoding(
     return jnp.concatenate([extra, resized], axis=1)
 
 
+@functools.lru_cache(maxsize=64)
+def _crop_apply_fn(model, kwargs_items):
+    """One stable jitted apply per (model, kwargs): jax's compile cache keys
+    on function identity, so a fresh lambda per call would retrace every
+    time. flax Modules are frozen dataclasses, hence hashable cache keys."""
+    kw = dict(kwargs_items)
+    return jax.jit(lambda v, x: model.apply(v, x, **kw))
+
+
 def forward_crops(model, variables, crops, **apply_kwargs):
     """Multi-crop forward: group crops by resolution, run one jitted forward
     per group, concatenate outputs in the original order.
@@ -63,7 +73,8 @@ def forward_crops(model, variables, crops, **apply_kwargs):
     Parity: the reference's multi-crop forward (deit.py:241-263,
     dino.py:230-252) — torch groups consecutive same-resolution crops with
     cumsum/unique_consecutive; here each distinct resolution is a separate
-    static-shape jit (compiled once per resolution).
+    static-shape jit, compiled once per (model, kwargs, resolution) and
+    cached across calls.
 
     Args:
       crops: list of (B_i, H_i, W_i, 3) arrays.
@@ -75,10 +86,7 @@ def forward_crops(model, variables, crops, **apply_kwargs):
     groups = collections.defaultdict(list)
     for i, c in enumerate(crops):
         groups[c.shape[1:3]].append(i)
-    fn = jax.jit(
-        lambda v, x: model.apply(v, x, **apply_kwargs),
-        static_argnames=(),
-    )
+    fn = _crop_apply_fn(model, tuple(sorted(apply_kwargs.items())))
     outputs = [None] * len(crops)
     for _, idxs in groups.items():
         batch = jnp.concatenate([crops[i] for i in idxs], axis=0)

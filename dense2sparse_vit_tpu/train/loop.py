@@ -106,8 +106,10 @@ def run_experiment(
     mixup = Mixup(
         mixup_alpha=cfg.data.mixup,
         cutmix_alpha=cfg.data.cutmix,
+        cutmix_minmax=cfg.data.cutmix_minmax,
         prob=cfg.data.mixup_prob,
         switch_prob=cfg.data.mixup_switch_prob,
+        mode=cfg.data.mixup_mode,
         label_smoothing=cfg.data.smoothing,
         num_classes=cfg.data.num_classes,
     )
@@ -234,6 +236,7 @@ def run_experiment(
                 patch_size=cfg.model.patch_size,
                 visualize_patch_drop=cfg.visualize_patch_drop,
                 visualize_cls_attn_evo=cfg.visualize_cls_attn_evo,
+                pruning_locs=cfg.pruning.pruning_locs,
             )
         logger.log({"epoch_seconds": time.time() - t0}, epoch, prefix="time")
 

@@ -173,6 +173,7 @@ def visualize_heads(
     kept_idx_per_stage: Optional[Sequence[np.ndarray]] = None,
     image_index: int = 0,
     num_patches: Optional[int] = None,
+    pruning_locs: Optional[Sequence[int]] = None,
 ):
     """Layer x head CLS-attention evolution maps
     (attention_segmentation.py:258-354).
@@ -180,6 +181,11 @@ def visualize_heads(
     Pruned layers have fewer tokens; their attention rows are scattered back
     into the original grid (zeros on dropped positions) using the stage-local
     kept-index chain, mirroring visualizations.py:36-56.
+
+    Pass `pruning_locs` (one cls_attns entry per layer assumed) to compose
+    exactly the stages applied before each layer; without it, a width-based
+    fallback composes stages until the widths match, which is ambiguous when
+    two consecutive stages share a width.
     """
     cls_attns = [_np(a) for a in cls_attns]  # each (B, H, N_layer)
     L = len(cls_attns)
@@ -187,22 +193,40 @@ def visualize_heads(
     N = num_patches or cls_attns[0].shape[-1]
     g = int(round(np.sqrt(N)))
 
+    def compose(chain):
+        idx = None
+        for stage in chain:
+            stage = _np(stage)[image_index]
+            idx = stage if idx is None else idx[stage]
+        return idx
+
     # original-coordinate map per layer width
     full_rows = []
-    for a in cls_attns:
+    for li, a in enumerate(cls_attns):
         row = a[image_index]  # (H, N_layer)
         n_layer = row.shape[-1]
         if n_layer != N and kept_idx_per_stage is not None:
-            # compose the index chain far enough to reach this width
-            idx = None
-            for stage in kept_idx_per_stage:
-                stage = _np(stage)[image_index]
-                idx = stage if idx is None else idx[stage]
-                if len(idx) == n_layer:
-                    break
+            if pruning_locs is not None:
+                # exact: the gather at a pruning layer happens BEFORE its
+                # block, so layer li has every stage with loc <= li applied
+                n_stages = sum(1 for loc in pruning_locs if loc <= li)
+                idx = compose(kept_idx_per_stage[:n_stages])
+            else:  # width-based fallback
+                idx = None
+                for k in range(1, len(kept_idx_per_stage) + 1):
+                    cand = compose(kept_idx_per_stage[:k])
+                    if len(cand) == n_layer:
+                        idx = cand
+                        break
+            if idx is None or len(idx) != n_layer:
+                raise ValueError(
+                    f"cannot map layer {li} width {n_layer} onto the "
+                    f"original {N} tokens from the kept-index chain "
+                    f"{[ _np(s).shape[-1] for s in kept_idx_per_stage ]}; "
+                    "pass pruning_locs for exact composition"
+                )
             padded = np.zeros((row.shape[0], N), row.dtype)
-            if idx is not None and len(idx) == n_layer:
-                padded[:, idx] = row
+            padded[:, idx] = row
             row = padded
         full_rows.append(row)
 

@@ -29,6 +29,7 @@ def epoch_visualize(
     patch_size: int = 16,
     visualize_patch_drop: bool = True,
     visualize_cls_attn_evo: bool = False,
+    pruning_locs=None,
 ):
     """Render the per-epoch visual artifacts for a fixed image panel.
 
@@ -79,6 +80,7 @@ def epoch_visualize(
                 os.path.join(save_dir, f"cls_attn_evo_epoch_{epoch}.png"),
                 kept_idx_per_stage=[np.asarray(i) for i in out.kept_idx],
                 num_patches=num_patches,
+                pruning_locs=pruning_locs,
             )
         )
     return written

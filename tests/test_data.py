@@ -139,8 +139,62 @@ class TestMixup:
     def test_mixup_wrapper_active_flag(self):
         assert Mixup(mixup_alpha=0.8).active
         assert not Mixup(mixup_alpha=0.0, cutmix_alpha=0.0).active
-        with pytest.raises(NotImplementedError):
-            Mixup(cutmix_minmax=(0.2, 0.8))
+        assert Mixup(
+            mixup_alpha=0.0, cutmix_alpha=0.0, cutmix_minmax=(0.2, 0.8)
+        ).active
+
+    def test_cutmix_minmax_box_fraction(self):
+        """minmax mode: per-side cut fraction in [mn, mx] -> area within
+        [mn^2, mx^2]; targets mix by the realized area (timm parity)."""
+        imgs = jax.random.normal(jax.random.PRNGKey(4), (6, 32, 32, 3))
+        labels = jnp.arange(6)
+        out, tgt = mixup_cutmix_batch(
+            jax.random.PRNGKey(5), imgs, labels, num_classes=6,
+            mixup_alpha=0.0, cutmix_alpha=1.0, cutmix_minmax=(0.25, 0.75),
+            prob=1.0, smoothing=0.0,
+        )
+        lam = float(np.asarray(tgt)[0].max())  # = lam for sample 0
+        assert 1 - 0.75 ** 2 <= lam <= 1 - 0.25 ** 2
+        # pasted fraction equals 1 - lam exactly
+        changed = np.mean(
+            np.any(np.asarray(out) != np.asarray(imgs), axis=-1)
+        )
+        np.testing.assert_allclose(changed, 1 - lam, atol=1e-6)
+
+    @pytest.mark.parametrize("mode", ["elem", "pair"])
+    def test_elem_and_pair_modes(self, mode):
+        imgs = jax.random.normal(jax.random.PRNGKey(6), (8, 16, 16, 3))
+        labels = jnp.arange(8)
+        out, tgt = mixup_cutmix_batch(
+            jax.random.PRNGKey(7), imgs, labels, num_classes=8,
+            mixup_alpha=0.8, cutmix_alpha=0.0, smoothing=0.0, mode=mode,
+        )
+        tgt = np.asarray(tgt)
+        np.testing.assert_allclose(tgt.sum(-1), 1.0, atol=1e-5)
+        lam = tgt[np.arange(8), np.arange(8)]  # own-label weight per sample
+        if mode == "elem":
+            assert len(np.unique(np.round(lam, 6))) > 1  # per-sample lams
+        else:
+            # pair mode: sample i and its mirror share lam
+            np.testing.assert_allclose(lam, lam[::-1], atol=1e-6)
+
+    def test_mixup_only_never_noops_when_cutmix_disabled(self):
+        """With cutmix_alpha=0, every applied sample gets MIXUP (timm picks
+        the enabled augmentation; a switch draw must not become a no-op)."""
+        imgs = jax.random.normal(jax.random.PRNGKey(8), (4, 8, 8, 3))
+        labels = jnp.array([0, 1, 2, 3])
+        for seed in range(6):
+            out, tgt = mixup_cutmix_batch(
+                jax.random.PRNGKey(seed), imgs, labels, num_classes=4,
+                mixup_alpha=0.8, cutmix_alpha=0.0, prob=1.0, smoothing=0.0,
+            )
+            lam = float(np.asarray(tgt)[0, 0])
+            # mixed images interpolate with lam strictly inside (0, 1) a.s.
+            np.testing.assert_allclose(
+                np.asarray(out),
+                np.asarray(imgs) * lam + np.asarray(imgs[::-1]) * (1 - lam),
+                atol=1e-5,
+            )
 
 
 class TestSplits:
