@@ -81,8 +81,13 @@ def _attn_kernel(qkv_ref, policy_ref, out_ref, *cls_ref_opt, scale, eps,
             ) * scale  # (n, n) fp32
             if use_policy:
                 # softmax_with_policy (dynamic_vit.py:198-213), faithful:
-                # row-max subtraction, eps/N smoothing
-                m = jnp.max(s, axis=-1, keepdims=True)
+                # row-max subtraction, eps/N smoothing. The max runs over
+                # VALID columns only: the eps terms break shift invariance,
+                # so including padded columns would perturb the result
+                # whenever a row's true max is negative.
+                m = jnp.max(
+                    jnp.where(pad_mask, s, -jnp.inf), axis=-1, keepdims=True
+                )
                 e = (jnp.exp(s - m) * attn_policy).astype(v.dtype)
             else:
                 # inference fast path: cross-lane row reductions are the VPU
@@ -293,20 +298,18 @@ def _fat_bwd(num_heads, scale, res, g):
             fused_attention_backward_packed(qkv, g, num_heads, scale=scale),
             None,
         )
-    # policy mode (threshold pruning / gumbel masking): reference backward
-    _, vjp = jax.vjp(
-        lambda q, pol: _ref_attention_packed(q, num_heads, pol, scale),
-        qkv, policy,
+    # policy mode (threshold pruning / gumbel masking): fused policy backward
+    dqkv, dpol = fused_attention_backward_packed(
+        qkv, g, num_heads, policy=policy, scale=scale
     )
-    gq, gpol = vjp(g)
-    return gq, gpol
+    return dqkv, dpol.astype(policy.dtype)
 
 
 fused_attention_packed_trainable.defvjp(_fat_fwd, _fat_bwd)
 
 
-def _attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, scale, n_valid, num_heads,
-                     head_dim):
+def _attn_bwd_kernel(qkv_ref, g_ref, *refs, scale, n_valid, num_heads,
+                     head_dim, has_cls):
     """Fused attention backward, plain-softmax mode.
 
     Per (batch row, head): recompute P from qkv (cheaper than storing the
@@ -317,12 +320,21 @@ def _attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, scale, n_valid, num_heads,
     The rowsum is folded into a matmul against an ones block (same trick as
     the forward). All five dots stay in VMEM.
     qkv_ref/g_ref blocks: (nb, N, 3*H*d) / (nb, N, H*d); dqkv out matches qkv.
+    With has_cls, a (nb, H, N) cotangent for the CLS-row probabilities
+    (second forward output) folds into dP's row 0 before the softmax
+    backward.
     """
+    if has_cls:
+        gcls_ref, dqkv_ref = refs
+    else:
+        (dqkv_ref,) = refs
     nb, n, _ = qkv_ref.shape
     hd = num_heads * head_dim
 
     col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     pad_mask = col < n_valid
+    if has_cls:
+        row_is_cls = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) == 0
 
     def batch_row(b, _):
         qkv = qkv_ref[b]
@@ -358,6 +370,10 @@ def _attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, scale, n_valid, num_heads,
                 g, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            if has_cls:
+                # CLS-probability cotangent lands on P's row 0
+                gc = gcls_ref[b, h].astype(jnp.float32)  # (n,)
+                dp = jnp.where(row_is_cls, dp + gc[None, :], dp)
             # softmax backward; rowsum(dP * P) via ones-matmul
             dpp = dp * p.astype(jnp.float32)
             r = jax.lax.dot_general(
@@ -385,22 +401,154 @@ def _attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, scale, n_valid, num_heads,
     jax.lax.fori_loop(0, nb, batch_row, None)
 
 
+def _attn_bwd_policy_kernel(qkv_ref, pol_ref, g_ref, *refs, scale, eps,
+                            n_valid, num_heads, head_dim, has_cls):
+    """Fused attention backward, policy (softmax_with_policy) mode.
+
+    Differentiates the exact reference formula (dynamic_vit.py:195-214)
+        A    = pol + (1 - pol) * I
+        x    = exp(s - max_valid(s));  e = x * A
+        den  = rowsum(e) + eps;        p = (e + eps/N) / den
+        out  = p v;  cls = p[0]
+    entirely in VMEM:
+        dV   = p^T g
+        dP   = g v^T (+ g_cls folded into row 0)
+        dE   = (dP - rowsum(dP * p)) / den
+        dS   = dE * e  +  max-path term (JAX tie-split semantics: the O(eps)
+               non-shift-invariance of the eps terms routes -rowsum(dE * e)
+               to the argmax columns)
+        dQ   = scale * dS k;  dK = scale * dS^T q
+        dPol = colsum(dE * x * (1 - I))  summed over heads  (the diagonal of
+               A is policy-independent: d(pol + (1-pol)I)/dpol has zero diag)
+    dpol is what makes gumbel-policy training differentiable end-to-end
+    through the fused kernel (previously a jax.vjp fallback re-materialized
+    (B, H, N, N) in HBM for exactly these modes).
+    """
+    if has_cls:
+        gcls_ref, dqkv_ref, dpol_ref = refs
+    else:
+        dqkv_ref, dpol_ref = refs
+    nb, n, _ = qkv_ref.shape
+    hd = num_heads * head_dim
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    pad_mask = col < n_valid
+    eye = (row == col).astype(jnp.float32)
+    off_diag = 1.0 - eye
+    if has_cls:
+        row_is_cls = row == 0
+    c = eps / n_valid
+
+    def batch_row(b, _):
+        qkv = qkv_ref[b]
+        gout = g_ref[b]  # (N, H*d)
+        pol = pol_ref[b]  # (1, N)
+        attn_policy = pol + (1.0 - pol) * eye  # (n, n)
+        ones_n = jnp.ones((n, 8), jnp.float32)
+        ones_rows = jnp.ones((8, n), jnp.float32)
+        dpol_total = jnp.zeros((8, n), jnp.float32)
+        for h in range(num_heads):
+            o = h * head_dim
+            q = qkv[:, o:o + head_dim]
+            k = qkv[:, hd + o:hd + o + head_dim]
+            v = qkv[:, 2 * hd + o:2 * hd + o + head_dim]
+            g = gout[:, o:o + head_dim]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            m = jnp.max(
+                jnp.where(pad_mask, s, -jnp.inf), axis=-1, keepdims=True
+            )
+            x = jnp.exp(s - m)
+            e = x * attn_policy
+            den = jax.lax.dot_general(
+                e, ones_n, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )[:, :1] + eps
+            p = (e + c) / den  # (n, n) fp32
+            # dV = P^T g (P cast to the value dtype, as the forward's PV dot)
+            dv = jax.lax.dot_general(
+                p.astype(v.dtype), g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # dP = g V^T
+            dp = jax.lax.dot_general(
+                g, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if has_cls:
+                gc = gcls_ref[b, h].astype(jnp.float32)  # (n,)
+                dp = jnp.where(row_is_cls, dp + gc[None, :], dp)
+            r = jax.lax.dot_general(
+                dp * p, ones_n, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )[:, :1]
+            de = (dp - r) / den
+            ds_dir = de * e
+            # max path: gradient through m = max(s) — JAX splits it equally
+            # among tied argmax columns
+            gm = -jax.lax.dot_general(
+                ds_dir, ones_n, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )[:, :1]
+            tie = jnp.where((s == m) & pad_mask, 1.0, 0.0)
+            cnt = jax.lax.dot_general(
+                tie, ones_n, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )[:, :1]
+            ds = ((ds_dir + gm * tie / cnt) * scale).astype(v.dtype)
+            dq = jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dk = jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dqkv_ref[b, :, o:o + head_dim] = dq.astype(dqkv_ref.dtype)
+            dqkv_ref[b, :, hd + o:hd + o + head_dim] = dk.astype(
+                dqkv_ref.dtype
+            )
+            dqkv_ref[b, :, 2 * hd + o:2 * hd + o + head_dim] = dv.astype(
+                dqkv_ref.dtype
+            )
+            # dPol: colsum of the off-diagonal dA = dE * x
+            dpol_total = dpol_total + jax.lax.dot_general(
+                ones_rows, de * x * off_diag, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        dpol_ref[b] = dpol_total[:1].astype(dpol_ref.dtype)
+        return _
+
+    jax.lax.fori_loop(0, nb, batch_row, None)
+
+
 def fused_attention_backward_packed(
     qkv: jnp.ndarray,
     g: jnp.ndarray,
     num_heads: int,
     *,
+    policy: jnp.ndarray | None = None,
+    gcls: jnp.ndarray | None = None,
     scale: float | None = None,
+    eps: float = 1e-6,
     block_batch: int = 8,
     interpret: bool = False,
-) -> jnp.ndarray:
-    """dL/d(qkv) for the plain-mode fused attention, as one Pallas kernel.
+):
+    """dL/d(qkv) (and dL/d(policy)) for the fused attention, as one kernel.
 
     Args:
       qkv: (B, N, 3*H*d) forward input (P is recomputed from it).
       g: (B, N, H*d) cotangent of the attention output.
+      policy: optional (B, N) keep mask — selects the softmax_with_policy
+        backward and adds a dpolicy output.
+      gcls: optional (B, H, N) cotangent of the CLS-row probabilities
+        (the return_cls second forward output).
 
-    Returns (B, N, 3*H*d) gradient in the packed layout.
+    Returns (B, N, 3*H*d) gradient in the packed layout, or a
+    (dqkv, dpolicy) pair when `policy` is given.
     """
     B, N, three_hd = qkv.shape
     hd = three_hd // 3
@@ -412,29 +560,92 @@ def fused_attention_backward_packed(
     if pad:
         qkv = jnp.pad(qkv, [(0, 0), (0, pad), (0, 0)])
         g = jnp.pad(g, [(0, 0), (0, pad), (0, 0)])
+        if gcls is not None:
+            gcls = jnp.pad(gcls, [(0, 0), (0, 0), (0, pad)])
     nb = block_batch
     while B % nb:
         nb //= 2
     nb = max(nb, 1)
+    has_cls = gcls is not None
+    use_policy = policy is not None
+
+    qkv_spec = pl.BlockSpec((nb, Np, three_hd), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((nb, Np, hd), lambda b: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    gcls_spec = pl.BlockSpec((nb, num_heads, Np), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    dqkv_shape = jax.ShapeDtypeStruct((B, Np, three_hd), qkv.dtype)
+
+    if use_policy:
+        pol = policy.astype(jnp.float32)
+        if pad:
+            pol = jnp.pad(pol, [(0, 0), (0, pad)])
+        kernel = functools.partial(
+            _attn_bwd_policy_kernel,
+            scale=scale,
+            eps=eps,
+            n_valid=N,
+            num_heads=num_heads,
+            head_dim=head_dim,
+            has_cls=has_cls,
+        )
+        pol_spec = pl.BlockSpec((nb, 1, Np), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+        operands = [qkv, pol[:, None, :], g]
+        in_specs = [qkv_spec, pol_spec, g_spec]
+        if has_cls:
+            operands.append(gcls)
+            in_specs.append(gcls_spec)
+        dqkv, dpol = pl.pallas_call(
+            kernel,
+            grid=(B // nb,),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((nb, Np, three_hd), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nb, 1, Np), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                dqkv_shape,
+                jax.ShapeDtypeStruct((B, 1, Np), jnp.float32),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=6 * 2 * B * num_heads * Np * Np * head_dim,
+                bytes_accessed=8 * B * Np * hd * qkv.dtype.itemsize,
+                transcendentals=B * num_heads * Np * Np,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(*operands)
+        dpol = dpol[:, 0, :N] if pad else dpol[:, 0, :]
+        if pad:
+            dqkv = dqkv[:, :N]
+        return dqkv, dpol
+
     kernel = functools.partial(
         _attn_bwd_kernel,
         scale=scale,
         n_valid=N,
         num_heads=num_heads,
         head_dim=head_dim,
+        has_cls=has_cls,
     )
+    operands = [qkv, g]
+    in_specs = [qkv_spec, g_spec]
+    if has_cls:
+        operands.append(gcls)
+        in_specs.append(gcls_spec)
     out = pl.pallas_call(
         kernel,
         grid=(B // nb,),
-        in_specs=[
-            pl.BlockSpec((nb, Np, three_hd), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, Np, hd), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((nb, Np, three_hd), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Np, three_hd), qkv.dtype),
+        out_shape=dqkv_shape,
         cost_estimate=pl.CostEstimate(
             flops=5 * 2 * B * num_heads * Np * Np * head_dim,
             bytes_accessed=8 * B * Np * hd * qkv.dtype.itemsize,
@@ -444,7 +655,7 @@ def fused_attention_backward_packed(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(qkv, g)
+    )(*operands)
     if pad:
         out = out[:, :N]
     return out
@@ -494,19 +705,18 @@ def _fatc_fwd(qkv, num_heads, policy, scale):
 
 def _fatc_bwd(num_heads, scale, res, g):
     qkv, policy = res
+    g_out, g_cls = g
     if policy is None:
-        _, vjp = jax.vjp(
-            lambda q: _ref_attention_packed_with_cls(q, num_heads, None, scale),
-            qkv,
+        return (
+            fused_attention_backward_packed(
+                qkv, g_out, num_heads, gcls=g_cls, scale=scale
+            ),
+            None,
         )
-        (gq,) = vjp(g)
-        return gq, None
-    _, vjp = jax.vjp(
-        lambda q, pol: _ref_attention_packed_with_cls(q, num_heads, pol, scale),
-        qkv, policy,
+    dqkv, dpol = fused_attention_backward_packed(
+        qkv, g_out, num_heads, policy=policy, gcls=g_cls, scale=scale
     )
-    gq, gpol = vjp(g)
-    return gq, gpol
+    return dqkv, dpol.astype(policy.dtype)
 
 
 fused_attention_packed_with_cls_trainable.defvjp(_fatc_fwd, _fatc_bwd)
