@@ -63,6 +63,10 @@ class StudentOutput:
     keep_mask: Optional[jnp.ndarray] = None
     keep_ratios: Optional[jnp.ndarray] = None
     early_exit_logits: Optional[jnp.ndarray] = None
+    # threshold mode: PER-STAGE spatial keep masks (B, N) — the mask-loss
+    # chain restricts stage i's teacher target to stage i-1's survivors
+    # (gather-mode does this with kept_idx; threshold mode has no gathers)
+    keep_masks: Tuple[jnp.ndarray, ...] = ()
 
 
 class DiffPruningStudent(nn.Module):
@@ -155,6 +159,7 @@ class DiffPruningStudent(nn.Module):
         x = nn.Dropout(cfg.drop_rate)(x, deterministic=deterministic)
 
         pred_logits, kept_stage, dropped_stage, cls_attns = [], [], [], []
+        keep_masks_stage = []  # threshold mode: per-stage spatial masks
         keep_mask_full = None  # (B, N+1) policy for threshold mode
         keep_ratios = None
         early_exit_logits = None
@@ -219,6 +224,7 @@ class DiffPruningStudent(nn.Module):
                     cls_ones = jnp.ones((B, 1), mask.dtype)
                     keep_mask_full = jnp.concatenate([cls_ones, mask], axis=1)
                     pred_logits.append(scores_logits)
+                    keep_masks_stage.append(mask)
                     x = blk(x, policy=keep_mask_full, deterministic=deterministic)
                 else:
                     k = keep_counts[p]
@@ -294,6 +300,7 @@ class DiffPruningStudent(nn.Module):
             ),
             keep_ratios=keep_ratios,
             early_exit_logits=early_exit_logits,
+            keep_masks=tuple(keep_masks_stage),
         )
 
     def _stage_scores(
@@ -335,6 +342,7 @@ class DiffPruningStudent(nn.Module):
             use_bn=pr.predictor_bn,
             loss_type=pr.mask_loss_type,
             dtype=jnp.dtype(self.cfg.dtype),
+            use_fused=self.cfg.use_fused_attention,
             name=f"score_predictor_{p}",
         )(spatial, use_running_average=deterministic)
         return scores_logits, scores

@@ -74,12 +74,35 @@ class PredictorLG(nn.Module):
     use_bn: bool = False
     loss_type: str = "kl_div"  # controls keep-prob normalization
     dtype: Dtype = jnp.float32
+    # run the whole LN->Dense->act pyramid as ONE Pallas kernel on the
+    # deterministic path (ops/pallas/predictor.py); training and the BN
+    # variant keep the flax path (autodiff / cross-batch statistics)
+    use_fused: bool = False
 
     @nn.compact
     def __call__(
         self, x, *, use_running_average: bool = True
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         d = self.embed_dim
+        if (
+            self.use_fused
+            and not self.use_bn
+            and use_running_average
+            and not self.is_initializing()
+        ):
+            from dense2sparse_vit_tpu.ops.pallas.predictor import (
+                fused_predictor_lg,
+            )
+
+            act = "gelu" if self.small_predictor else "relu"
+            scores = fused_predictor_lg(
+                x, self.variables["params"], act=act
+            )
+            if self.loss_type in ("kl_div", "mse"):
+                keep_probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+            else:  # bce
+                keep_probs = jax.nn.sigmoid(scores.astype(jnp.float32))
+            return scores, keep_probs.astype(scores.dtype)
         if self.small_predictor:
             # LN variant uses GELU, BN variant uses ReLU (dynamic_vit.py:386-426)
             act = "relu" if self.use_bn else "gelu"

@@ -1,0 +1,92 @@
+"""Fused PredictorLG kernel vs the flax module (interpreter mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dense2sparse_vit_tpu.nn.predictor import PredictorLG
+from dense2sparse_vit_tpu.ops.pallas.predictor import fused_predictor_lg
+
+
+def _make(small, d=32, n=13, b=2, seed=0):
+    mod = PredictorLG(embed_dim=d, small_predictor=small, use_bn=False)
+    x = jax.random.normal(jax.random.PRNGKey(seed), (b, n, d))
+    params = mod.init(jax.random.PRNGKey(seed + 1), x)["params"]
+    # non-trivial LN params (init is scale=1, bias=0 — perturb to catch
+    # scale/bias mix-ups)
+    params = jax.tree.map(
+        lambda p: p
+        + 0.1 * jax.random.normal(jax.random.PRNGKey(hash(p.shape) % 997),
+                                  p.shape),
+        params,
+    )
+    return mod, params, x
+
+
+class TestFusedPredictor:
+    @pytest.mark.parametrize("small", [False, True])
+    def test_matches_flax_module(self, small):
+        mod, params, x = _make(small)
+        want_scores, want_probs = mod.apply({"params": params}, x)
+        act = "gelu" if small else "relu"
+        got = fused_predictor_lg(x, params, act=act, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want_scores), atol=2e-3, rtol=1e-3
+        )
+
+    def test_padded_tokens_do_not_pollute_global_pool(self):
+        # n=13 pads to 16: the global mean-pool must average over 13 tokens
+        mod, params, x = _make(False, n=13)
+        want, _ = mod.apply({"params": params}, x)
+        got = fused_predictor_lg(x, params, act="relu", interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-3, rtol=1e-3
+        )
+        # aligned case too
+        mod16, params16, x16 = _make(False, n=16, seed=3)
+        want16, _ = mod16.apply({"params": params16}, x16)
+        got16 = fused_predictor_lg(x16, params16, act="relu", interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got16), np.asarray(want16), atol=2e-3, rtol=1e-3
+        )
+
+    def test_module_fused_flag_deterministic_only(self, monkeypatch):
+        """use_fused routes through the kernel on the deterministic path;
+        training (use_running_average=False) keeps the flax path."""
+        import dense2sparse_vit_tpu.ops.pallas.predictor as P
+
+        orig = P.fused_predictor_lg
+        monkeypatch.setattr(
+            P, "fused_predictor_lg",
+            lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+        )
+        mod, params, x = _make(False)
+        fused_mod = PredictorLG(
+            embed_dim=32, small_predictor=False, use_bn=False, use_fused=True
+        )
+        scores, probs = fused_mod.apply(
+            {"params": params}, x, use_running_average=True
+        )
+        want_scores, want_probs = mod.apply({"params": params}, x)
+        np.testing.assert_allclose(
+            np.asarray(scores), np.asarray(want_scores), atol=2e-3, rtol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(probs), np.asarray(want_probs), atol=2e-3, rtol=1e-3
+        )
+        np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, atol=1e-3)
+        # training path keeps the flax module (kernel would raise on CPU
+        # without the interpret patch — un-patch to prove it's not called)
+        monkeypatch.setattr(
+            P, "fused_predictor_lg",
+            lambda *a, **k: (_ for _ in ()).throw(
+                AssertionError("kernel called on training path")
+            ),
+        )
+        s2, _ = fused_mod.apply(
+            {"params": params}, x, use_running_average=False
+        )
+        np.testing.assert_allclose(
+            np.asarray(s2), np.asarray(want_scores), atol=2e-3, rtol=1e-3
+        )
