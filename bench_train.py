@@ -1,14 +1,23 @@
 """Training-step benchmark (not wired to the driver; see bench.py for the
 headline inference metric).
 
-Measures the FULL jitted training step — teacher forward (with per-block CLS
-attention capture), student forward, MaskLoss + BackboneLoss, backward, AdamW
-update — for the flagship DeiT-S 3-stage config. Sequential steps thread the
-donated TrainState, so timing needs no scan-chain trick.
+Measures FULL jitted training steps — teacher forward (with per-block CLS
+attention capture), student forward, losses, backward, AdamW update — for:
+  * topk: the flagship DeiT-S 3-stage fixed-ratio config
+  * threshold: data-dependent keep counts via policy-masked attention
+    (reference --patch-score-threshold; dynamic_vit.py:880-894)
+  * gumbel: the DynamicViT-baseline student (gumbel-softmax keep policy,
+    default_dynamic_vit.py:449-459) with the DynamicViT distill loss
+The threshold/gumbel rows exercise the fused POLICY-mode backward kernel
+(ops/pallas/attention.py::_attn_bwd_policy_kernel); before round 2 these
+modes fell back to a jax.vjp that re-materialized (B, H, N, N) in HBM.
 
-Measured on a v5e chip (B=128, bf16): 61.1 ms/step (2095 img/s) with the
-fully fused path (Pallas forward AND backward kernels) vs 85.7 ms/step
-(1493 img/s) with the reference-style unfused path.
+Sequential steps thread the donated TrainState, so timing needs no
+scan-chain trick.
+
+Measured on a v5e chip (B=128, bf16), fused vs reference-style unfused:
+see BENCHMARKS.md (round 1 headline: topk 61.1 ms/step fused vs 85.7
+unfused).
 """
 
 from __future__ import annotations
@@ -23,10 +32,18 @@ B = 128
 STEPS = 10
 
 
-def run(fused: bool) -> float:
+def _pruning_cfg(mode: str):
+    from dense2sparse_vit_tpu.core.config import PruningConfig
+
+    kw = dict(pruning_locs=(3, 6, 9), keep_ratios=(0.7, 0.49, 0.343))
+    if mode == "threshold":
+        kw["patch_score_threshold"] = 0.5
+    return PruningConfig(**kw)
+
+
+def run(fused: bool, mode: str = "topk") -> float:
     from dense2sparse_vit_tpu.core.config import (
         ExperimentConfig,
-        PruningConfig,
         TrainConfig,
         deit_small,
     )
@@ -40,19 +57,71 @@ def run(fused: bool) -> float:
     mcfg = deit_small(dtype="bfloat16", use_fused_attention=fused)
     cfg = ExperimentConfig(
         model=mcfg,
-        pruning=PruningConfig(
-            pruning_locs=(3, 6, 9), keep_ratios=(0.7, 0.49, 0.343)
-        ),
+        pruning=_pruning_cfg(mode),
         train=TrainConfig(batch_size=B, epochs=25, warmup_epochs=5),
     )
-    student = DiffPruningStudent(cfg=mcfg, pruning=cfg.pruning)
     teacher = ViTTeacher(cfg=mcfg)
     imgs = jax.random.normal(jax.random.PRNGKey(0), (B, 224, 224, 3),
                              jnp.bfloat16)
     labels = jax.random.randint(jax.random.PRNGKey(1), (B,), 0, 1000)
-    tx = make_optimizer(cfg.train, steps_per_epoch=100)
-    state = create_train_state(student, tx, jax.random.PRNGKey(2), imgs[:1])
     tparams = teacher.init(jax.random.PRNGKey(3), imgs[:1])["params"]
+    tx = make_optimizer(cfg.train, steps_per_epoch=100)
+
+    if mode == "gumbel":
+        import optax
+
+        from dense2sparse_vit_tpu.losses import dynamic_vit_distill_loss
+        from dense2sparse_vit_tpu.models.dynamic_vit_default import (
+            DynamicViTStudent,
+        )
+
+        student = DynamicViTStudent(cfg=mcfg, pruning=cfg.pruning)
+        variables = student.init(
+            {"params": jax.random.PRNGKey(2),
+             "gumbel": jax.random.PRNGKey(7)},
+            imgs[:1], training=True,
+        )
+        params = variables["params"]
+        opt_state = tx.init(params)
+
+        def step(params, opt_state, images, labels, rng):
+            def loss_fn(p):
+                t_logits, t_tokens, _ = teacher.apply(
+                    {"params": tparams}, images, deterministic=True
+                )
+                out = student.apply(
+                    {"params": p}, images, training=True,
+                    rngs={"gumbel": rng, "dropout": jax.random.fold_in(rng, 1)},
+                )
+                loss, _ = dynamic_vit_distill_loss(
+                    out.logits, out.features,
+                    jax.lax.stop_gradient(t_logits),
+                    jax.lax.stop_gradient(t_tokens),
+                    labels, out.pred_keep_probs, out.decisions,
+                    cfg.pruning.keep_ratios,
+                )
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        jstep = jax.jit(step, donate_argnums=(0, 1))
+        params, opt_state, loss = jstep(
+            params, opt_state, imgs, labels, jax.random.PRNGKey(4)
+        )
+        float(loss)
+        t0 = time.time()
+        for i in range(STEPS):
+            params, opt_state, loss = jstep(
+                params, opt_state, imgs, labels,
+                jax.random.fold_in(jax.random.PRNGKey(5), i),
+            )
+        float(loss)
+        return (time.time() - t0) / STEPS
+
+    student = DiffPruningStudent(cfg=mcfg, pruning=cfg.pruning)
+    state = create_train_state(student, tx, jax.random.PRNGKey(2), imgs[:1])
     step = jax.jit(
         make_train_step(student, teacher, tx, cfg), donate_argnums=(0,)
     )
@@ -71,20 +140,25 @@ def run(fused: bool) -> float:
 
 
 def main():
-    t_fused = run(True)
-    t_ref = run(False)
+    rows = {}
+    for mode in ("topk", "threshold", "gumbel"):
+        t_fused = run(True, mode)
+        t_ref = run(False, mode)
+        rows[mode] = {
+            "fused_ms_per_step": round(t_fused * 1e3, 1),
+            "unfused_ms_per_step": round(t_ref * 1e3, 1),
+            "fused_img_per_s": round(B / t_fused, 1),
+            "speedup": round(t_ref / t_fused, 3),
+        }
     print(
         json.dumps(
             {
                 "metric": "training images/sec/chip (DeiT-S 3-stage student "
                           "+ teacher + losses + AdamW, B=128, bf16)",
-                "value": round(B / t_fused, 1),
+                "value": rows["topk"]["fused_img_per_s"],
                 "unit": "images/sec/chip",
-                "vs_baseline": round(t_ref / t_fused, 3),
-                "extra": {
-                    "fused_ms_per_step": round(t_fused * 1e3, 1),
-                    "unfused_ms_per_step": round(t_ref * 1e3, 1),
-                },
+                "vs_baseline": rows["topk"]["speedup"],
+                "extra": rows,
             }
         )
     )

@@ -48,6 +48,7 @@ def mask_loss(
     keep_ratios: Sequence[float],
     loss_type: str = "kl_div",
     mean_heads: bool = False,
+    keep_masks: Sequence[jnp.ndarray] = (),
 ) -> Tuple[jnp.ndarray, dict]:
     """Mask-prediction loss over all pruning stages.
 
@@ -59,6 +60,12 @@ def mask_loss(
         (StudentOutput.kept_idx).
       keep_ratios: static per-stage keep ratios (config).
       loss_type: 'kl_div' | 'mse' | 'bce'.
+      keep_masks: threshold mode — per-stage (B, N) spatial keep masks;
+        tokens never move, so stage i's teacher target is restricted to
+        stage i-1's survivors by MASKING + renormalizing instead of the
+        gather (the reference's threshold-mode loss chaining is dead code —
+        it appends flattened boolean masks where losses.py:83-90 expects
+        indices; this implements the intent).
 
     Returns:
       (loss, metrics) where metrics has per-stage mask accuracies.
@@ -71,15 +78,22 @@ def mask_loss(
         if i > 0:
             # chain: restrict the teacher target to the tokens that survived
             # stage i-1, renormalize (losses.py:83-90)
-            renorm = jnp.take_along_axis(renorm, kept_idx[i - 1], axis=-1)
+            if kept_idx:
+                renorm = jnp.take_along_axis(renorm, kept_idx[i - 1], axis=-1)
+            else:
+                renorm = renorm * keep_masks[i - 1].astype(renorm.dtype)
             renorm = renorm / jnp.sum(renorm, axis=-1, keepdims=True)
             stage_ratio = keep_ratios[i] / keep_ratios[i - 1]
         else:
             stage_ratio = keep_ratios[i]
 
         if loss_type == "kl_div":
+            # masked-out targets are exactly 0: their KL contribution is 0,
+            # but 0 * log(0) would be NaN — floor the log argument (the
+            # floored contribution is ~1e-28, numerically zero)
+            safe_log = jnp.log(jnp.maximum(renorm, 1e-30))
             loss = loss + _kl_batchmean_log_target(
-                jax.nn.log_softmax(logits, axis=-1), jnp.log(renorm)
+                jax.nn.log_softmax(logits, axis=-1), safe_log
             )
         elif loss_type == "mse":
             # reference compares RAW scores to the renormalized attention,

@@ -125,6 +125,7 @@ def make_train_step(
             pr.keep_ratios,
             loss_type=pr.mask_loss_type,
             mean_heads=pr.mean_heads,
+            keep_masks=out.keep_masks,
         )
         b_loss, b_metrics = backbone_loss(
             out.logits,
@@ -229,6 +230,7 @@ def make_eval_step(student, teacher, cfg: ExperimentConfig) -> Callable:
             pr.keep_ratios,
             loss_type=pr.mask_loss_type,
             mean_heads=pr.mean_heads,
+            keep_masks=out.keep_masks,
         )
         # per-sample CE, masked mean over valid rows
         logp = jax.nn.log_softmax(out.logits.astype(jnp.float32), axis=-1)

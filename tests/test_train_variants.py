@@ -76,6 +76,20 @@ class TestThresholdTraining:
             assert 0.0 <= float(em[k]) <= 1.0
         assert float(em["min_keep_ratio"]) <= float(em["max_keep_ratio"])
 
+    def test_threshold_multi_stage_mask_loss_chains_by_mask(self):
+        # regression: multi-stage threshold mode has no kept indices — the
+        # mask-loss chain must restrict stage i's teacher target via stage
+        # i-1's keep MASK (round-1 code indexed an empty kept_idx tuple)
+        pr = PruningConfig(
+            pruning_locs=(1, 2), keep_ratios=(0.7, 0.49),
+            patch_score_threshold=0.4,
+        )
+        _, _, metrics, em = _run_one_step(pr)
+        assert np.isfinite(float(metrics["loss"]))
+        assert np.isfinite(float(metrics["mask_loss"]))
+        assert "mask_acc_1" in metrics
+        assert np.isfinite(float(em["val_loss"]))
+
 
 class TestEarlyExitTraining:
     def test_early_exit_loss_in_metrics(self):
