@@ -90,6 +90,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", type=str, default="float32")
     p.add_argument("--workdir", type=str, default="runs/latest")
     p.add_argument("--resume", action="store_true", default=False)
+    # multi-host (replaces --use-ddp + mp.spawn + NCCL rendezvous,
+    # mask_predictor.py:160-162 / ddp_training.py:4-8): run one process per
+    # host with the same flags; JAX_COORDINATOR_ADDRESS etc. env vars work too
+    p.add_argument("--dist-coordinator", type=str, default=None,
+                   help="host:port of process 0; enables multi-host mode")
+    p.add_argument("--dist-num-processes", type=int, default=None)
+    p.add_argument("--dist-process-id", type=int, default=None)
     return p
 
 
@@ -183,9 +190,15 @@ def parse_config(argv: Optional[Sequence[str]] = None):
 
 
 def main(argv: Optional[Sequence[str]] = None):  # pragma: no cover - thin
+    from dense2sparse_vit_tpu.core.mesh import maybe_initialize_distributed
     from dense2sparse_vit_tpu.train.loop import run_experiment
 
     cfg, args = parse_config(argv)
+    maybe_initialize_distributed(
+        coordinator_address=args.dist_coordinator,
+        num_processes=args.dist_num_processes,
+        process_id=args.dist_process_id,
+    )
     return run_experiment(cfg, args.workdir, resume=args.resume)
 
 

@@ -59,3 +59,79 @@ def is_primary() -> bool:
     """Host-0 gating for logging/viz (replaces rank-0 blocks,
     ddp_training.py:50-57,178-211)."""
     return jax.process_index() == 0
+
+
+def maybe_initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Join a multi-host JAX cluster over DCN when configured.
+
+    The reference's multi-process entry is mp.spawn + TCP rendezvous +
+    dist.init_process_group("nccl") (mask_predictor.py:160-162,
+    ddp_training.py:4-8). The JAX equivalent is ONE call per host:
+    `jax.distributed.initialize` — after it, jax.devices() spans every
+    host's chips and the same single-controller GSPMD code runs unchanged;
+    XLA routes collectives over ICI within a slice and DCN across hosts.
+
+    Explicit args win; otherwise standard env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or a
+    cluster env JAX auto-detects, e.g. SLURM) are used. Returns True if
+    distributed mode was initialized.
+    """
+    import os
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
+def process_local_indices(indices) -> "np.ndarray":
+    """This host's shard of a dataset index list (round-robin by process).
+
+    Replaces torch DistributedSampler's per-rank split
+    (ddp_training.py:15-16): each host's loader only decodes its own slice;
+    the global batch is assembled with `put_global_batch`.
+    """
+    indices = np.asarray(indices)
+    return indices[jax.process_index()::jax.process_count()]
+
+
+def put_global_batch(sharding, local_np):
+    """Form a global device array from per-host local rows.
+
+    Single-process: a plain device_put. Multi-host: each process contributes
+    its local rows (global_batch // process_count of them) and JAX assembles
+    the (globally-sharded, globally-addressable) array — the DCN-side input
+    path the reference implements with per-rank DataLoaders.
+    """
+    local_np = np.asarray(local_np)
+    if jax.process_count() == 1:
+        return jax.device_put(local_np, sharding)
+    return jax.make_array_from_process_local_data(sharding, local_np)
+
+
+def put_global_batch_from_full(sharding, full_np):
+    """Form a global device array when EVERY host holds the full batch
+    (used for validation: identical batching on all hosts keeps coverage
+    exact without cross-host index bookkeeping). Each host contributes the
+    rows its devices own, resolved from the sharding itself."""
+    full_np = np.asarray(full_np)
+    if jax.process_count() == 1:
+        return jax.device_put(full_np, sharding)
+    return jax.make_array_from_callback(
+        full_np.shape, sharding, lambda idx: full_np[idx]
+    )

@@ -25,7 +25,13 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from dense2sparse_vit_tpu.core.config import ExperimentConfig
-from dense2sparse_vit_tpu.core.mesh import make_mesh
+from dense2sparse_vit_tpu.core.mesh import (
+    is_primary,
+    make_mesh,
+    process_local_indices,
+    put_global_batch,
+    put_global_batch_from_full,
+)
 from dense2sparse_vit_tpu.data import (
     ImageFolder,
     Mixup,
@@ -81,9 +87,20 @@ def run_experiment(
     tr_idx, va_idx = split_train_val_indices(
         len(ds_train), 0.8, seed=cfg.train.seed
     )
+    # multi-host: each process decodes only its shard of every train batch
+    # (DistributedSampler equivalent, ddp_training.py:15-16); val keeps the
+    # full batch on every host so coverage/padding stay exact
+    nproc = jax.process_count()
+    if cfg.train.batch_size % nproc:
+        raise ValueError(
+            f"global batch {cfg.train.batch_size} not divisible by "
+            f"{nproc} processes"
+        )
+    local_bs = cfg.train.batch_size // nproc
+    tr_idx_local = process_local_indices(tr_idx)
     train_loader = make_loader(
-        ds_train, cfg.train.batch_size, shuffle=True, seed=cfg.train.seed,
-        indices=tr_idx, num_workers=cfg.data.num_workers,
+        ds_train, local_bs, shuffle=True, seed=cfg.train.seed,
+        indices=tr_idx_local, num_workers=cfg.data.num_workers,
     )
     # val batch: largest multiple of the mesh data-axis size that fits —
     # static shapes require full batches, but tiny val sets must still eval
@@ -96,7 +113,7 @@ def run_experiment(
         ds_val, val_bs, indices=va_idx, drop_last=False,
         num_workers=cfg.data.num_workers,
     )
-    steps_per_epoch = max(len(tr_idx) // cfg.train.batch_size, 1)
+    steps_per_epoch = max(len(tr_idx_local) // local_bs, 1)
     if max_steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
 
@@ -130,8 +147,20 @@ def run_experiment(
         state = ckpt.restore(state)
         start_epoch = int(state.step) // steps_per_epoch
 
-    state = jax.device_put(state, repl)
-    teacher_params = jax.device_put(teacher_params, repl)
+    if nproc > 1:
+        # replicate across hosts: every process contributes the same value
+        # (device_put cannot target non-addressable devices)
+        def _repl(tree):
+            return jax.tree.map(
+                lambda a: put_global_batch_from_full(repl, a),
+                jax.device_get(tree),
+            )
+
+        state = _repl(state)
+        teacher_params = _repl(teacher_params)
+    else:
+        state = jax.device_put(state, repl)
+        teacher_params = jax.device_put(teacher_params, repl)
 
     train_step = jax.jit(
         make_train_step(student, teacher, tx, cfg, mixup_active=mixup.active),
@@ -157,8 +186,8 @@ def run_experiment(
             if step_i >= steps_per_epoch:
                 break
             key = jax.random.fold_in(rng, epoch * 100003 + step_i)
-            xb = jax.device_put(jnp.asarray(xb), img_sh)
-            yb = jax.device_put(jnp.asarray(yb), data_sh)
+            xb = put_global_batch(img_sh, xb)
+            yb = put_global_batch(data_sh, yb)
             if mixup.active:
                 xb, yb = mixup(jax.random.fold_in(key, 1), xb, yb)
             state, metrics = train_step(
@@ -200,8 +229,12 @@ def run_experiment(
                 pad = val_bs - len(yb)
                 xb = np.concatenate([xb, np.repeat(xb[:1], pad, axis=0)])
                 yb = np.concatenate([yb, np.full((pad,), -1, yb.dtype)])
-            xb = jax.device_put(jnp.asarray(xb), img_sh)
-            yb = jax.device_put(jnp.asarray(yb), data_sh)
+            if viz_batch is None:
+                # host copy, captured before device placement (global arrays
+                # are not host-addressable under multi-host)
+                viz_batch = (np.asarray(xb[:16]), np.asarray(yb[:16]))
+            xb = put_global_batch_from_full(img_sh, xb)
+            yb = put_global_batch_from_full(data_sh, yb)
             m = eval_step(
                 state.params, state.batch_stats, teacher_params, xb, yb
             )
@@ -209,26 +242,24 @@ def run_experiment(
             for k, v in m.items():
                 agg[k] = agg.get(k, 0.0) + float(v) * w
             total_valid += w
-            if viz_batch is None:
-                viz_batch = (xb, yb)
         if total_valid:
             agg = {k: v / total_valid for k, v in agg.items()}
             logger.log(agg, epoch, prefix="val")
             acc = agg.get("val_acc", 0.0)
-            if ckpt.save_if_best(int(state.step), jax.device_get(state), acc):
-                best_acc = max(best_acc, acc)
+            best_acc = max(best_acc, acc)
+            if is_primary():
+                ckpt.save_if_best(int(state.step), jax.device_get(state), acc)
 
         # visualization hook on a fixed panel (mask_predictor.py:272-282)
         if (
             cfg.visualize_patch_drop or cfg.visualize_cls_attn_evo
-        ) and viz_batch is not None and epoch % viz_every == 0:
-            out = student.apply(
-                {"params": state.params, **(
-                    {"batch_stats": state.batch_stats}
-                    if state.batch_stats else {}
-                )},
-                viz_batch[0][:16],
-            )
+        ) and viz_batch is not None and epoch % viz_every == 0 and is_primary():
+            # host-local forward: params are replicated, so host 0's copy is
+            # the global value (multi-host-safe; viz never touches the mesh)
+            host_vars = {"params": jax.device_get(state.params)}
+            if state.batch_stats:
+                host_vars["batch_stats"] = jax.device_get(state.batch_stats)
+            out = student.apply(host_vars, viz_batch[0][:16])
             epoch_visualize(
                 np.asarray(viz_batch[0][:16]), jax.device_get(out),
                 cfg.model.num_patches, f"{workdir}/viz", epoch,
