@@ -257,7 +257,18 @@ class DiffPruningStudent(nn.Module):
                         idx_full = jnp.concatenate(
                             [jnp.zeros((B, 1), kept.dtype), kept + 1], axis=1
                         )
-                        x = gather_tokens(x, idx_full)
+                        if cfg.use_fused_attention:
+                            # one-hot-matmul gather kernel: XLA's gather at
+                            # these shapes measured ~1.9 ms/stage in-model
+                            # (~20% of the pruned forward); the MXU does the
+                            # row selection for ~6 GFLOP instead
+                            from dense2sparse_vit_tpu.ops.pallas.gather import (
+                                fused_gather_tokens,
+                            )
+
+                            x = fused_gather_tokens(x, idx_full)
+                        else:
+                            x = gather_tokens(x, idx_full)
                     if collect:
                         x, cls_attn = blk(
                             x, return_cls_attn=True, deterministic=deterministic
