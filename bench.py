@@ -20,7 +20,9 @@ import jax
 import jax.numpy as jnp
 
 BATCH = 256
-ITERS = 10
+ITERS = 50  # the axon relay costs ~24 ms per host readback; 50 chained
+# iterations amortize it to ~0.5 ms/iter (at 10 it was ~2.4 ms/iter of pure
+# tunnel overhead inflating every number)
 REPEATS = 3
 
 

@@ -90,9 +90,22 @@ def _layer_norm(h, scale, bias, eps, ones_c):
 def _predictor_kernel(x_ref, *refs, n_in, n_out, n_valid, act, eps, dtype):
     """One program: nb full samples, flattened to (nb*Np, width) row batches.
 
-    refs layout: per unit (ln_scale, ln_bias, kernel, bias) x (n_in + n_out),
-    then final_ln_scale, final_ln_bias, final_w8 (8, C_last), final_b (1, 1),
-    then the output ref (1, 1, nb*Np).
+    refs layout: per in unit (ln_scale, ln_bias, kernel, bias) x n_in, then
+    the SPLIT out_0 unit (ws_top (c2, w0), ws_bot (c-c2, w0),
+    colsum_ws (1, w0), b' (1, w0)), then (ln_scale, ln_bias, kernel, bias)
+    x (n_out - 1), then final_ln_scale, final_ln_bias, final_w8 (8, C_last),
+    final_b (1, 1), then the output ref (1, 1, nb*Np).
+
+    out_0 exploits the rank-1 structure of its input's global half (every
+    row of a sample shares ONE pooled vector, dynamic_vit.py:538-544): with
+    the LayerNorm folded into the weights,
+        LN(concat) @ W = r * (local @ Ws_top + glob @ Ws_bot)
+                         - (r * mu) * colsum(Ws) + (bias @ W + b)
+    the glob contraction collapses to a per-SAMPLE (nbp, c-c2) @ (c-c2, w0)
+    matmul — 1/Np of the dense cost — so out_0's MXU work halves (~27% of
+    the whole predictor's FLOPs for the large variant). mu/var come from
+    ones-matmul row sums of the local half plus per-sample global scalars
+    (algebraically identical to the two-pass variance: fp32 throughout).
     """
     out_ref = refs[-1]
     w_refs = refs[:-1]
@@ -124,34 +137,89 @@ def _predictor_kernel(x_ref, *refs, n_in, n_out, n_valid, act, eps, dtype):
 
     # local/global split (dynamic_vit.py:538-544): first half channels
     # per-token, second half mean-pooled over each sample's VALID tokens —
-    # one (8, rows) pooling matmul, row s = indicator(sample s)/n_valid
+    # one (nbp, rows) pooling matmul, row s = indicator(sample s)/n_valid
     c = h.shape[1]
-    local = h[:, : c // 2]
-    row_id = jax.lax.broadcasted_iota(jnp.int32, (8, rows), 0)
-    col_id = jax.lax.broadcasted_iota(jnp.int32, (8, rows), 1)
+    c2 = c // 2
+    local = h[:, :c2]
+    nbp = max(8, nb)  # sublane-aligned pooling-matrix height
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (nbp, rows), 0)
+    col_id = jax.lax.broadcasted_iota(jnp.int32, (nbp, rows), 1)
     pool = jnp.where(
         (col_id // np_ == row_id) & (col_id % np_ < n_valid),
         1.0 / n_valid, 0.0,
     )
-    means = jax.lax.dot_general(
-        pool, h[:, c // 2:].astype(jnp.float32), (((1,), (0,)), ((), ())),
+    means32 = jax.lax.dot_general(
+        pool, h[:, c2:].astype(jnp.float32), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (8, c - c//2); row s = sample s's mean (s < nb)
-    # broadcast each sample's mean back to its token rows with an
-    # indicator matmul (a reshape/broadcast chain fails Mosaic layout
-    # inference; rows x 8 x C is MXU pocket change)
+    )  # (nbp, c - c2); row s = sample s's mean (s < nb)
+    # quantize like the reference's concat does (glob enters out_0 in the
+    # model dtype), then take per-sample stats from the quantized values
+    means_q = means32.astype(dtype)
+    mq32 = means_q.astype(jnp.float32)
+
+    base = 4 * n_in
+    ws_top = w_refs[base][:]                            # (c2, w0)
+    ws_bot = w_refs[base + 1][:]                        # (c - c2, w0)
+    colsum_ws = w_refs[base + 2][:].astype(jnp.float32)  # (1, w0)
+    bprime = w_refs[base + 3][:].astype(jnp.float32)     # (1, w0)
+
+    # LN stats: per-row local sums + per-sample global sums (ones-matmuls)
+    l32 = local.astype(jnp.float32)
+    ones_c2 = jnp.ones((c2, 8), jnp.float32)
+    s_l = jax.lax.dot_general(
+        l32, ones_c2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[:, :1]
+    q_l = jax.lax.dot_general(
+        l32 * l32, ones_c2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[:, :1]
+    ones_cg = jnp.ones((c - c2, 8), jnp.float32)
+    # kept 8 lanes wide (all columns equal) so the expand matmuls below
+    # never produce 1-lane outputs
+    s_g = jax.lax.dot_general(
+        mq32, ones_cg, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    q_g = jax.lax.dot_general(
+        mq32 * mq32, ones_cg, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    # split matmuls: per-token local half, per-SAMPLE global half
+    t1 = jax.lax.dot_general(
+        local, ws_top, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (rows, w0)
+    t2 = jax.lax.dot_general(
+        means_q, ws_bot, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (nbp, w0)
+    # expand per-sample quantities back to token rows (indicator matmuls)
     expand = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (rows, 8), 0) // np_
-        == jax.lax.broadcasted_iota(jnp.int32, (rows, 8), 1),
+        jax.lax.broadcasted_iota(jnp.int32, (rows, nbp), 0) // np_
+        == jax.lax.broadcasted_iota(jnp.int32, (rows, nbp), 1),
         1.0, 0.0,
     )
-    glob = jax.lax.dot_general(
-        expand, means, (((1,), (0,)), ((), ())),
+    t2x = jax.lax.dot_general(
+        expand, t2, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(dtype)  # (rows, c - c//2)
-    h = jnp.concatenate([local, glob], axis=1)
+    )
+    sx = jax.lax.dot_general(
+        expand, s_g, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[:, :1]
+    qx = jax.lax.dot_general(
+        expand, q_g, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[:, :1]
+    mu = (s_l + sx) / c
+    var = (q_l + qx) / c - mu * mu
+    rr = jax.lax.rsqrt(var + eps)
+    y = rr * (t1 + t2x) - (rr * mu) * colsum_ws + bprime
+    h = activation(y.astype(dtype))
     ones = jnp.ones((h.shape[1], 8), jnp.float32)
-    for i in range(n_out):
+    for i in range(1, n_out):
         h = unit(h, n_in + i, ones)
         ones = jnp.ones((h.shape[1], 8), jnp.float32)
 
@@ -194,15 +262,39 @@ def fused_predictor_lg(
     n_out = sum(1 for k in params if k.startswith("out_"))
 
     operands = [x]
-    for group, count in (("in", n_in), ("out", n_out)):
-        for i in range(count):
-            unit = params[f"{group}_{i}"]
-            operands += [
-                unit["norm"]["scale"][None, :],
-                unit["norm"]["bias"][None, :],
-                unit["dense"]["kernel"].astype(dtype),
-                unit["dense"]["bias"][None, :].astype(dtype),
-            ]
+    for i in range(n_in):
+        unit = params[f"in_{i}"]
+        operands += [
+            unit["norm"]["scale"][None, :],
+            unit["norm"]["bias"][None, :],
+            unit["dense"]["kernel"].astype(dtype),
+            unit["dense"]["bias"][None, :].astype(dtype),
+        ]
+    # out_0 in folded/split form (see _predictor_kernel): scale into the
+    # kernel, bias@W + b into one bias row, colsum of the QUANTIZED kernel
+    # (the matrix the MXU actually multiplies) for the mu correction
+    u0 = params["out_0"]
+    scale0 = u0["norm"]["scale"].astype(jnp.float32)
+    bias0 = u0["norm"]["bias"].astype(jnp.float32)
+    w0k = u0["dense"]["kernel"].astype(jnp.float32)
+    b0 = u0["dense"]["bias"].astype(jnp.float32)
+    ws = (scale0[:, None] * w0k).astype(dtype)
+    c_in = ws.shape[0]
+    c2 = c_in // 2
+    operands += [
+        ws[:c2],
+        ws[c2:],
+        jnp.sum(ws.astype(jnp.float32), axis=0, keepdims=True),
+        (bias0 @ w0k + b0)[None, :],
+    ]
+    for i in range(1, n_out):
+        unit = params[f"out_{i}"]
+        operands += [
+            unit["norm"]["scale"][None, :],
+            unit["norm"]["bias"][None, :],
+            unit["dense"]["kernel"].astype(dtype),
+            unit["dense"]["bias"][None, :].astype(dtype),
+        ]
     fw = params["final_dense"]["kernel"]  # (C_last, 1)
     c_last = fw.shape[0]
     fw8 = jnp.zeros((8, c_last), dtype).at[0].set(fw[:, 0].astype(dtype))
@@ -217,7 +309,7 @@ def fused_predictor_lg(
     pad = Np - N
     if pad:
         operands[0] = jnp.pad(x, [(0, 0), (0, pad), (0, 0)])
-    nb = min(block_batch, 8)  # the pooling matrix has 8 rows
+    nb = block_batch  # pooling matrix sized to nb (sublane-padded to >= 8)
     while B % nb:
         nb //= 2
     nb = max(nb, 1)

