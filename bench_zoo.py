@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 BATCH = 128
-ITERS = 10
+ITERS = 50  # ~24 ms flat relay readback; 50 iters amortize it to ~0.5 ms/iter
 
 
 def chained(apply_fn):
