@@ -307,8 +307,9 @@ def _attn_bwd_kernel(qkv_ref, g_ref, *refs, scale, n_valid, num_heads,
                      head_dim, has_cls):
     """Fused attention backward, plain-softmax mode.
 
-    Per (batch row, head): recompute P from qkv (cheaper than storing the
-    (N, N) probabilities in HBM between passes), then
+    Per head, batched over the block's batch rows: recompute P from qkv
+    (cheaper than storing the (N, N) probabilities in HBM between passes),
+    then
         dV = P^T g,   dP = g V^T,
         dS = P * (dP - rowsum(dP * P))   [softmax backward],
         dQ = scale * dS K,   dK = scale * dS^T Q.
@@ -326,74 +327,68 @@ def _attn_bwd_kernel(qkv_ref, g_ref, *refs, scale, n_valid, num_heads,
     nb, n, _ = qkv_ref.shape
     hd = num_heads * head_dim
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (nb, n, n), 2)
     pad_mask = col < n_valid
     if has_cls:
-        row_is_cls = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) == 0
+        row_is_cls = jax.lax.broadcasted_iota(jnp.int32, (nb, n, n), 1) == 0
 
-    def batch_row(b, _):
-        qkv = qkv_ref[b]
-        gout = g_ref[b]  # (N, H*d)
-        for h in range(num_heads):
-            o = h * head_dim
-            q = qkv[:, o:o + head_dim]
-            k = qkv[:, hd + o:hd + o + head_dim]
-            v = qkv[:, 2 * hd + o:2 * hd + o + head_dim]
-            g = gout[:, o:o + head_dim]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            s = jnp.where(pad_mask, jnp.clip(s, -30.0, 30.0), -jnp.inf)
-            e = jnp.exp(s)
-            # rowsum via ones-matmul (lane reductions are the VPU bottleneck)
-            ones_n = jnp.ones((n, 8), jnp.float32)
-            den = jax.lax.dot_general(
-                e, ones_n, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )[:, :1]
-            # +tiny: padded rows have e == 0 everywhere; without it p = 0/0
-            # NaNs would poison dV through the P^T g contraction
-            p = (e / (den + 1e-30)).astype(v.dtype)  # (n, n)
-            # dV = P^T g
-            dv = jax.lax.dot_general(
-                p, g, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            # dP = g V^T
-            dp = jax.lax.dot_general(
-                g, v, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if has_cls:
-                # CLS-probability cotangent lands on P's row 0
-                gc = gcls_ref[b, h].astype(jnp.float32)  # (n,)
-                dp = jnp.where(row_is_cls, dp + gc[None, :], dp)
-            # softmax backward; rowsum(dP * P) via ones-matmul
-            dpp = dp * p.astype(jnp.float32)
-            r = jax.lax.dot_general(
-                dpp, ones_n, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )[:, :1]
-            ds = (p.astype(jnp.float32) * (dp - r) * scale).astype(v.dtype)
-            dq = jax.lax.dot_general(
-                ds, k, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dk = jax.lax.dot_general(
-                ds, q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dqkv_ref[b, :, o:o + head_dim] = dq.astype(dqkv_ref.dtype)
-            dqkv_ref[b, :, hd + o:hd + o + head_dim] = dk.astype(
-                dqkv_ref.dtype
-            )
-            dqkv_ref[b, :, 2 * hd + o:2 * hd + o + head_dim] = dv.astype(
-                dqkv_ref.dtype
-            )
-        return _
-
-    jax.lax.fori_loop(0, nb, batch_row, None)
+    qkv = qkv_ref[:]
+    gout = g_ref[:]  # (nb, N, H*d)
+    ones_n = jnp.ones((nb, n, 8), jnp.float32)
+    for h in range(num_heads):
+        o = h * head_dim
+        q = qkv[:, :, o:o + head_dim]
+        k = qkv[:, :, hd + o:hd + o + head_dim]
+        v = qkv[:, :, 2 * hd + o:2 * hd + o + head_dim]
+        g = gout[:, :, o:o + head_dim]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = jnp.where(pad_mask, jnp.clip(s, -30.0, 30.0), -jnp.inf)
+        e = jnp.exp(s)
+        # rowsum via ones-matmul (lane reductions are the VPU bottleneck)
+        den = jax.lax.dot_general(
+            e, ones_n, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[:, :, :1]
+        # +tiny: padded rows have e == 0 everywhere; without it p = 0/0
+        # NaNs would poison dV through the P^T g contraction
+        p = (e / (den + 1e-30)).astype(v.dtype)  # (nb, n, n)
+        # dV = P^T g
+        dv = jax.lax.dot_general(
+            p, g, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        # dP = g V^T
+        dp = jax.lax.dot_general(
+            g, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        if has_cls:
+            # CLS-probability cotangent lands on P's row 0
+            gc = gcls_ref[:, h:h + 1, :].astype(jnp.float32)  # (nb, 1, n)
+            dp = jnp.where(row_is_cls, dp + gc, dp)
+        # softmax backward; rowsum(dP * P) via ones-matmul
+        dpp = dp * p.astype(jnp.float32)
+        r = jax.lax.dot_general(
+            dpp, ones_n, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[:, :, :1]
+        ds = (p.astype(jnp.float32) * (dp - r) * scale).astype(v.dtype)
+        dq = jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dk = jax.lax.dot_general(
+            ds, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dqkv_ref[:, :, o:o + head_dim] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, hd + o:hd + o + head_dim] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, 2 * hd + o:2 * hd + o + head_dim] = dv.astype(
+            dqkv_ref.dtype
+        )
 
 
 def _attn_bwd_policy_kernel(qkv_ref, pol_ref, g_ref, *refs, scale, eps,
@@ -426,8 +421,8 @@ def _attn_bwd_policy_kernel(qkv_ref, pol_ref, g_ref, *refs, scale, eps,
     nb, n, _ = qkv_ref.shape
     hd = num_heads * head_dim
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (nb, n, n), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (nb, n, n), 2)
     pad_mask = col < n_valid
     eye = (row == col).astype(jnp.float32)
     off_diag = 1.0 - eye
@@ -435,89 +430,83 @@ def _attn_bwd_policy_kernel(qkv_ref, pol_ref, g_ref, *refs, scale, eps,
         row_is_cls = row == 0
     c = eps / n_valid
 
-    def batch_row(b, _):
-        qkv = qkv_ref[b]
-        gout = g_ref[b]  # (N, H*d)
-        pol = pol_ref[b]  # (1, N)
-        attn_policy = pol + (1.0 - pol) * eye  # (n, n)
-        ones_n = jnp.ones((n, 8), jnp.float32)
-        ones_rows = jnp.ones((8, n), jnp.float32)
-        dpol_total = jnp.zeros((8, n), jnp.float32)
-        for h in range(num_heads):
-            o = h * head_dim
-            q = qkv[:, o:o + head_dim]
-            k = qkv[:, hd + o:hd + o + head_dim]
-            v = qkv[:, 2 * hd + o:2 * hd + o + head_dim]
-            g = gout[:, o:o + head_dim]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            m = jnp.max(
-                jnp.where(pad_mask, s, -jnp.inf), axis=-1, keepdims=True
-            )
-            x = jnp.exp(s - m)
-            e = x * attn_policy
-            den = jax.lax.dot_general(
-                e, ones_n, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )[:, :1] + eps
-            p = (e + c) / den  # (n, n) fp32
-            # dV = P^T g (P cast to the value dtype, as the forward's PV dot)
-            dv = jax.lax.dot_general(
-                p.astype(v.dtype), g, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            # dP = g V^T
-            dp = jax.lax.dot_general(
-                g, v, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if has_cls:
-                gc = gcls_ref[b, h].astype(jnp.float32)  # (n,)
-                dp = jnp.where(row_is_cls, dp + gc[None, :], dp)
-            r = jax.lax.dot_general(
-                dp * p, ones_n, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )[:, :1]
-            de = (dp - r) / den
-            ds_dir = de * e
-            # max path: gradient through m = max(s) — JAX splits it equally
-            # among tied argmax columns
-            gm = -jax.lax.dot_general(
-                ds_dir, ones_n, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )[:, :1]
-            tie = jnp.where((s == m) & pad_mask, 1.0, 0.0)
-            cnt = jax.lax.dot_general(
-                tie, ones_n, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )[:, :1]
-            ds = ((ds_dir + gm * tie / cnt) * scale).astype(v.dtype)
-            dq = jax.lax.dot_general(
-                ds, k, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dk = jax.lax.dot_general(
-                ds, q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dqkv_ref[b, :, o:o + head_dim] = dq.astype(dqkv_ref.dtype)
-            dqkv_ref[b, :, hd + o:hd + o + head_dim] = dk.astype(
-                dqkv_ref.dtype
-            )
-            dqkv_ref[b, :, 2 * hd + o:2 * hd + o + head_dim] = dv.astype(
-                dqkv_ref.dtype
-            )
-            # dPol: colsum of the off-diagonal dA = dE * x
-            dpol_total = dpol_total + jax.lax.dot_general(
-                ones_rows, de * x * off_diag, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        dpol_ref[b] = dpol_total[:1].astype(dpol_ref.dtype)
-        return _
-
-    jax.lax.fori_loop(0, nb, batch_row, None)
+    qkv = qkv_ref[:]
+    gout = g_ref[:]  # (nb, N, H*d)
+    pol = pol_ref[:]  # (nb, 1, N)
+    attn_policy = pol + (1.0 - pol) * eye  # (nb, n, n)
+    ones_n = jnp.ones((nb, n, 8), jnp.float32)
+    ones_rows = jnp.ones((nb, 8, n), jnp.float32)
+    dpol_total = jnp.zeros((nb, 8, n), jnp.float32)
+    for h in range(num_heads):
+        o = h * head_dim
+        q = qkv[:, :, o:o + head_dim]
+        k = qkv[:, :, hd + o:hd + o + head_dim]
+        v = qkv[:, :, 2 * hd + o:2 * hd + o + head_dim]
+        g = gout[:, :, o:o + head_dim]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        m = jnp.max(
+            jnp.where(pad_mask, s, -jnp.inf), axis=-1, keepdims=True
+        )
+        x = jnp.exp(s - m)
+        e = x * attn_policy
+        den = jax.lax.dot_general(
+            e, ones_n, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[:, :, :1] + eps
+        p = (e + c) / den  # (nb, n, n) fp32
+        # dV = P^T g (P cast to the value dtype, as the forward's PV dot)
+        dv = jax.lax.dot_general(
+            p.astype(v.dtype), g, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        # dP = g V^T
+        dp = jax.lax.dot_general(
+            g, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        if has_cls:
+            gc = gcls_ref[:, h:h + 1, :].astype(jnp.float32)  # (nb, 1, n)
+            dp = jnp.where(row_is_cls, dp + gc, dp)
+        r = jax.lax.dot_general(
+            dp * p, ones_n, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[:, :, :1]
+        de = (dp - r) / den
+        ds_dir = de * e
+        # max path: gradient through m = max(s) — JAX splits it equally
+        # among tied argmax columns
+        gm = -jax.lax.dot_general(
+            ds_dir, ones_n, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[:, :, :1]
+        tie = jnp.where((s == m) & pad_mask, 1.0, 0.0)
+        cnt = jax.lax.dot_general(
+            tie, ones_n, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[:, :, :1]
+        ds = ((ds_dir + gm * tie / cnt) * scale).astype(v.dtype)
+        dq = jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dk = jax.lax.dot_general(
+            ds, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dqkv_ref[:, :, o:o + head_dim] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, hd + o:hd + o + head_dim] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, 2 * hd + o:2 * hd + o + head_dim] = dv.astype(
+            dqkv_ref.dtype
+        )
+        # dPol: colsum of the off-diagonal dA = dE * x
+        dpol_total = dpol_total + jax.lax.dot_general(
+            ones_rows, de * x * off_diag, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+    dpol_ref[:] = dpol_total[:, :1].astype(dpol_ref.dtype)
 
 
 def fused_attention_backward_packed(
