@@ -206,14 +206,35 @@ class Block(nn.Module):
             y, cls_attn = y
         dp = DropPath(self.drop_path, name="drop_path")
         x = x + dp(y, deterministic=deterministic)
-        y = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm2")(x)
-        y = Mlp(
-            hidden_features=int(C * self.mlp_ratio),
-            drop=self.drop,
-            dtype=self.dtype,
-            name="mlp",
-        )(y, deterministic=deterministic)
-        x = x + dp(y, deterministic=deterministic)
+        if self.use_fused and deterministic and not self.is_initializing():
+            # one VMEM pass for LN2 -> fc1 -> gelu -> fc2 -> +residual: the
+            # (B, N, 4C) fc1 activation never touches HBM
+            # (ops/pallas/mlp.py). Custom VJP (reference backward), so safe
+            # under jax.grad; dropout/droppath are inactive when
+            # deterministic, so semantics match the flax path exactly.
+            from dense2sparse_vit_tpu.ops.pallas.mlp import fused_mlp_residual
+
+            p = self.variables["params"]
+            x = fused_mlp_residual(
+                x,
+                p["norm2"]["scale"], p["norm2"]["bias"],
+                p["mlp"]["fc1"]["kernel"].astype(self.dtype),
+                p["mlp"]["fc1"]["bias"],
+                p["mlp"]["fc2"]["kernel"].astype(self.dtype),
+                p["mlp"]["fc2"]["bias"],
+                self.layer_norm_eps,
+            )
+        else:
+            y = nn.LayerNorm(
+                epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm2"
+            )(x)
+            y = Mlp(
+                hidden_features=int(C * self.mlp_ratio),
+                drop=self.drop,
+                dtype=self.dtype,
+                name="mlp",
+            )(y, deterministic=deterministic)
+            x = x + dp(y, deterministic=deterministic)
         if return_cls_attn:
             return x, cls_attn
         return x
