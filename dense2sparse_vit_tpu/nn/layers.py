@@ -190,22 +190,78 @@ class Block(nn.Module):
         deterministic: bool = True,
     ):
         C = x.shape[-1]
-        y = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm1")(x)
-        y = Attention(
-            num_heads=self.num_heads,
-            qkv_bias=self.qkv_bias,
-            qk_scale=self.qk_scale,
-            attn_drop=self.attn_drop,
-            proj_drop=self.drop,
-            dtype=self.dtype,
-            use_fused=self.use_fused,
-            name="attn",
-        )(y, policy, return_cls_attn=return_cls_attn, deterministic=deterministic)
         cls_attn = None
-        if return_cls_attn:
-            y, cls_attn = y
         dp = DropPath(self.drop_path, name="drop_path")
-        x = x + dp(y, deterministic=deterministic)
+        if self.use_fused and deterministic and not self.is_initializing():
+            # whole attention half-block in one kernel: LN1 folded into the
+            # qkv projection, attention core, output projection, and the
+            # residual add all in VMEM — the (B, N, 3C) qkv tensor never
+            # exists in HBM (ops/pallas/attention.py::fused_attention_block).
+            # Custom VJP (reference backward); dropout/droppath are inactive
+            # when deterministic, so semantics match the flax path exactly.
+            from dense2sparse_vit_tpu.ops.pallas.attention import (
+                fused_attention_block_trainable,
+            )
+
+            p = self.variables["params"]
+            ap = p["attn"]
+            head_dim = C // self.num_heads
+            bqkv = (
+                ap["qkv"]["bias"] if self.qkv_bias
+                else jnp.zeros((3 * C,), self.dtype)
+            )
+            pol = (
+                policy.reshape(x.shape[0], x.shape[1])
+                if policy is not None else None
+            )
+            if return_cls_attn:
+                # CLS-row capture is a second kernel output (no extra
+                # matmuls). This path is only taken without gradients
+                # (teacher capture / eval / viz), so the raw kernel is fine.
+                from dense2sparse_vit_tpu.ops.pallas.attention import (
+                    fused_attention_block,
+                )
+
+                x, cls_attn = fused_attention_block(
+                    x,
+                    p["norm1"]["scale"], p["norm1"]["bias"],
+                    ap["qkv"]["kernel"].astype(self.dtype), bqkv,
+                    ap["proj"]["kernel"].astype(self.dtype),
+                    ap["proj"]["bias"],
+                    self.num_heads, pol,
+                    scale=self.qk_scale or head_dim ** -0.5,
+                    ln_eps=self.layer_norm_eps,
+                    return_cls=True,
+                )
+            else:
+                x = fused_attention_block_trainable(
+                    x,
+                    p["norm1"]["scale"], p["norm1"]["bias"],
+                    ap["qkv"]["kernel"].astype(self.dtype), bqkv,
+                    ap["proj"]["kernel"].astype(self.dtype),
+                    ap["proj"]["bias"],
+                    self.num_heads, pol,
+                    self.qk_scale or head_dim ** -0.5,
+                    self.layer_norm_eps,
+                )
+        else:
+            y = nn.LayerNorm(
+                epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm1"
+            )(x)
+            y = Attention(
+                num_heads=self.num_heads,
+                qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale,
+                attn_drop=self.attn_drop,
+                proj_drop=self.drop,
+                dtype=self.dtype,
+                use_fused=self.use_fused,
+                name="attn",
+            )(y, policy, return_cls_attn=return_cls_attn,
+              deterministic=deterministic)
+            if return_cls_attn:
+                y, cls_attn = y
+            x = x + dp(y, deterministic=deterministic)
         if self.use_fused and deterministic and not self.is_initializing():
             # one VMEM pass for LN2 -> fc1 -> gelu -> fc2 -> +residual: the
             # (B, N, 4C) fc1 activation never touches HBM

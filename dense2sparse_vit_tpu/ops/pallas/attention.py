@@ -731,3 +731,272 @@ def fused_attention(
         qkv, H, policy, scale=scale, eps=eps, interpret=interpret
     )
     return out.reshape(B, N, H, d).transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# Fully fused attention half-block: x + proj(attention(qkv(LN1(x))))
+# ---------------------------------------------------------------------------
+
+
+def _attn_block_kernel(x_ref, pol_ref, wqkv_ref, cs_ref, b1p_ref, wproj_ref,
+                       bproj_ref, out_ref, *cls_ref_opt, scale, eps, ln_eps,
+                       n_valid, num_heads, head_dim, use_policy):
+    """The whole pre-norm attention half-block in one VMEM pass.
+
+    LN1 is folded into the qkv projection (scale into the kernel,
+    bias@W + b into one row, mu correction via the kernel's column sums —
+    same algebra as ops/pallas/mlp.py), so the (B, N, 3C) qkv tensor and
+    the LN output never exist in HBM; the attention core is the batched
+    per-head loop of `_attn_kernel`; the output projection and the residual
+    add happen before the single HBM write.
+    """
+    cls_ref = cls_ref_opt[0] if cls_ref_opt else None
+    nb, np_, c = x_ref.shape
+    rows = nb * np_
+    hd = num_heads * head_dim
+    n = np_
+
+    x2 = x_ref[:].reshape(rows, c)
+    x32 = x2.astype(jnp.float32)
+    ones_c = jnp.ones((c, 8), jnp.float32)
+    sm = jax.lax.dot_general(
+        x32, ones_c, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[:, :1]
+    qm = jax.lax.dot_general(
+        x32 * x32, ones_c, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[:, :1]
+    mu = sm / c
+    var = qm / c - mu * mu
+    rr = jax.lax.rsqrt(var + ln_eps)
+    t = jax.lax.dot_general(
+        x2, wqkv_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (rows, 3C) fp32
+    qkv = (
+        rr * t - (rr * mu) * cs_ref[:].astype(jnp.float32)
+        + b1p_ref[:].astype(jnp.float32)
+    ).astype(x2.dtype).reshape(nb, n, 3 * hd)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (nb, n, n), 2)
+    pad_mask = col < n_valid
+    if use_policy:
+        eye = (
+            jax.lax.broadcasted_iota(jnp.int32, (nb, n, n), 1) == col
+        ).astype(jnp.float32)
+        pol = pol_ref[:]  # (nb, 1, N)
+        attn_policy = pol + (1.0 - pol) * eye
+
+    head_outs = []
+    for h in range(num_heads):
+        o = h * head_dim
+        q = qkv[:, :, o:o + head_dim]
+        k = qkv[:, :, hd + o:hd + o + head_dim]
+        v = qkv[:, :, 2 * hd + o:2 * hd + o + head_dim]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if use_policy:
+            m = jnp.max(
+                jnp.where(pad_mask, s, -jnp.inf), axis=-1, keepdims=True
+            )
+            e = (jnp.exp(s - m) * attn_policy).astype(v.dtype)
+        else:
+            s = jnp.where(pad_mask, jnp.clip(s, -30.0, 30.0), -jnp.inf)
+            e = jnp.exp(s).astype(v.dtype)
+        ones_cols = max(8, 128 - head_dim % 128) if head_dim % 128 else 8
+        v_ext = jnp.concatenate(
+            [v, jnp.ones((nb, n, ones_cols), v.dtype)], axis=2
+        )
+        o_ext = jax.lax.dot_general(
+            e, v_ext, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        num = o_ext[:, :, :head_dim]
+        den = o_ext[:, :, head_dim:head_dim + 8][:, :, :1]
+        if use_policy:
+            colsum_v = jax.lax.dot_general(
+                jnp.ones((nb, 8, n), v.dtype), v,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )[:, :1]
+            num = num + (eps / n_valid) * colsum_v
+            den = den + eps
+        head_outs.append((num / den).astype(x2.dtype))
+        if cls_ref is not None:
+            e_cls = e[:, 0:1, :].astype(jnp.float32)
+            if use_policy:
+                p_cls = (e_cls + eps / n_valid) / den[:, 0:1]
+            else:
+                p_cls = e_cls / den[:, 0:1]
+            cls_ref[:, h:h + 1, :] = p_cls.astype(cls_ref.dtype)
+
+    attn_out = jnp.concatenate(head_outs, axis=2).reshape(rows, hd)
+    proj = jax.lax.dot_general(
+        attn_out, wproj_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bproj_ref[:].astype(jnp.float32)
+    out_ref[:] = (x32 + proj).reshape(nb, np_, c).astype(out_ref.dtype)
+
+
+def fused_attention_block(
+    x: jnp.ndarray,
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    wqkv: jnp.ndarray,
+    bqkv: jnp.ndarray,
+    wproj: jnp.ndarray,
+    bproj: jnp.ndarray,
+    num_heads: int,
+    policy: jnp.ndarray | None = None,
+    *,
+    scale: float | None = None,
+    eps: float = 1e-6,
+    ln_eps: float = 1e-6,
+    block_batch: int = 8,
+    return_cls: bool = False,
+    interpret: bool = False,
+):
+    """x + proj(attention(qkv(LN1(x)))) in one kernel. x: (B, N, C)."""
+    B, N, C = x.shape
+    head_dim = C // num_heads
+    if scale is None:
+        scale = head_dim ** -0.5
+    dtype = x.dtype
+
+    Np = _round_up(N, 16)
+    pad = Np - N
+    xp = jnp.pad(x, [(0, 0), (0, pad), (0, 0)]) if pad else x
+    use_policy = policy is not None
+    if use_policy:
+        pol = policy.astype(jnp.float32)
+        if pad:
+            pol = jnp.pad(pol, [(0, 0), (0, pad)])
+    else:
+        pol = jnp.ones((B, Np), jnp.float32)
+    nb = block_batch
+    while B % nb:
+        nb //= 2
+    nb = max(nb, 1)
+
+    wqkv_s = (ln_scale.astype(jnp.float32)[:, None]
+              * wqkv.astype(jnp.float32)).astype(dtype)
+    cs = jnp.sum(wqkv_s.astype(jnp.float32), axis=0, keepdims=True)
+    b1p = (ln_bias.astype(jnp.float32) @ wqkv.astype(jnp.float32)
+           + bqkv.astype(jnp.float32))[None, :]
+    operands = [xp, pol[:, None, :], wqkv_s, cs, b1p,
+                wproj.astype(dtype), bproj.astype(jnp.float32)[None, :]]
+    in_specs = [
+        pl.BlockSpec((nb, Np, C), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nb, 1, Np), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for op in operands[2:]:
+        in_specs.append(
+            pl.BlockSpec(op.shape, lambda b, nd=op.ndim: (0,) * nd,
+                         memory_space=pltpu.VMEM)
+        )
+
+    kernel = functools.partial(
+        _attn_block_kernel,
+        scale=scale,
+        eps=eps,
+        ln_eps=ln_eps,
+        n_valid=N,
+        num_heads=num_heads,
+        head_dim=head_dim,
+        use_policy=use_policy,
+    )
+    out_specs = pl.BlockSpec((nb, Np, C), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, Np, C), dtype)
+    if return_cls:
+        out_specs = (
+            out_specs,
+            pl.BlockSpec((nb, num_heads, Np), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        )
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((B, num_heads, Np), dtype))
+    result = pl.pallas_call(
+        kernel,
+        grid=(B // nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Np * C * (3 * C + C)
+            + 2 * 2 * B * num_heads * Np * Np * head_dim,
+            bytes_accessed=2 * B * Np * C * jnp.dtype(dtype).itemsize,
+            transcendentals=B * num_heads * Np * Np,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*operands)
+    if return_cls:
+        out, cls_attn = result
+        return (out[:, :N] if pad else out,
+                cls_attn[:, :, :N] if pad else cls_attn)
+    return result[:, :N] if pad else result
+
+
+def _ref_attention_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                         num_heads, policy, scale, ln_eps):
+    """jnp reference of the fused half-block (for the custom backward)."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True) - mu * mu
+    h = ((x32 - mu) * jax.lax.rsqrt(var + ln_eps)
+         * ln_scale.astype(jnp.float32)
+         + ln_bias.astype(jnp.float32)).astype(x.dtype)
+    qkv = h @ wqkv.astype(x.dtype) + bqkv.astype(x.dtype)
+    attn = _ref_attention_packed(qkv, num_heads, policy, scale)
+    return x + (attn @ wproj.astype(x.dtype) + bproj.astype(x.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 9, 10))
+def fused_attention_block_trainable(
+    x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, num_heads,
+    policy=None, scale=None, ln_eps=1e-6,
+):
+    """Differentiable wrapper: Pallas forward, reference backward."""
+    return fused_attention_block(
+        x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, num_heads, policy,
+        scale=scale, ln_eps=ln_eps,
+    )
+
+
+def _fab_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, num_heads,
+             policy, scale, ln_eps):
+    out = fused_attention_block_trainable(
+        x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, num_heads, policy,
+        scale, ln_eps,
+    )
+    return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, policy)
+
+
+def _fab_bwd(num_heads, scale, ln_eps, res, g):
+    x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, policy = res
+    if policy is None:
+        _, vjp = jax.vjp(
+            lambda *a: _ref_attention_block(
+                *a, num_heads, None, scale, ln_eps
+            ),
+            x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+        )
+        return vjp(g) + (None,)
+    _, vjp = jax.vjp(
+        lambda x_, ls, lb, wq, bq, wp, bp, pol: _ref_attention_block(
+            x_, ls, lb, wq, bq, wp, bp, num_heads, pol, scale, ln_eps
+        ),
+        x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, policy,
+    )
+    return vjp(g)
+
+
+fused_attention_block_trainable.defvjp(_fab_fwd, _fab_bwd)

@@ -333,3 +333,76 @@ class TestFusedPolicyBackwardKernel:
         finally:
             A.fused_attention_packed = orig
             A.fused_attention_backward_packed = orig_bwd
+
+
+class TestFusedAttentionBlock:
+    """The fully fused attention half-block (LN1 folded into qkv, attention,
+    proj, residual) vs the jnp reference, interpret mode."""
+
+    def _args(self, n, c=32, heads=2, seed=20):
+        ks = jax.random.split(jax.random.PRNGKey(seed), 7)
+        x = jax.random.normal(ks[0], (B, n, c))
+        ln_s = 1.0 + 0.1 * jax.random.normal(ks[1], (c,))
+        ln_b = 0.1 * jax.random.normal(ks[2], (c,))
+        wqkv = jax.random.normal(ks[3], (c, 3 * c)) * 0.1
+        bqkv = 0.1 * jax.random.normal(ks[4], (3 * c,))
+        wproj = jax.random.normal(ks[5], (c, c)) * 0.1
+        bproj = 0.1 * jax.random.normal(ks[6], (c,))
+        return x, ln_s, ln_b, wqkv, bqkv, wproj, bproj
+
+    @pytest.mark.parametrize("n", [16, 13])  # aligned and padded
+    def test_plain_matches_reference(self, n):
+        import dense2sparse_vit_tpu.ops.pallas.attention as A
+
+        args = self._args(n)
+        want = A._ref_attention_block(*args, 2, None, None, 1e-6)
+        got = A.fused_attention_block(*args, 2, None, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-3, rtol=1e-3
+        )
+
+    def test_policy_and_cls(self):
+        import dense2sparse_vit_tpu.ops.pallas.attention as A
+
+        n = 16
+        args = self._args(n, seed=21)
+        pol = (jax.random.uniform(jax.random.PRNGKey(9), (B, n)) > 0.3
+               ).astype(jnp.float32)
+        want = A._ref_attention_block(*args, 2, pol, None, 1e-6)
+        got, cls = A.fused_attention_block(
+            *args, 2, pol, interpret=True, return_cls=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-3, rtol=1e-3
+        )
+        assert cls.shape == (B, 2, n)
+        # cls rows are probabilities: nonnegative, rows sum to ~1 over the
+        # smoothed policy distribution
+        assert (np.asarray(cls, np.float32) >= -1e-6).all()
+
+    def test_gradient_via_reference_vjp(self):
+        import dense2sparse_vit_tpu.ops.pallas.attention as A
+
+        args = self._args(16, seed=22)
+        orig = A.fused_attention_block
+        A.fused_attention_block = lambda *a, **k: orig(
+            *a, **{**k, "interpret": True}
+        )
+        try:
+            g_fused = jax.grad(
+                lambda x: jnp.sum(
+                    A.fused_attention_block_trainable(
+                        x, *args[1:], 2, None, None, 1e-6
+                    ) ** 2
+                )
+            )(args[0])
+        finally:
+            A.fused_attention_block = orig
+        g_ref = jax.grad(
+            lambda x: jnp.sum(
+                A._ref_attention_block(x, *args[1:], 2, None, None, 1e-6) ** 2
+            )
+        )(args[0])
+        np.testing.assert_allclose(
+            np.asarray(g_fused), np.asarray(g_ref), atol=5e-3, rtol=5e-3
+        )

@@ -84,13 +84,18 @@ class TestFusedMlp:
             return orig(*a[:7], 1e-6, 8, True)
 
         monkeypatch.setattr(M, "fused_mlp_residual", spy)
-        # the attention kernel must also run in interpret mode on CPU
+        # the attention kernels must also run in interpret mode on CPU
         import dense2sparse_vit_tpu.ops.pallas.attention as A
 
         orig_attn = A.fused_attention_packed
         monkeypatch.setattr(
             A, "fused_attention_packed",
             lambda *a, **k: orig_attn(*a, **{**k, "interpret": True}),
+        )
+        orig_blk = A.fused_attention_block
+        monkeypatch.setattr(
+            A, "fused_attention_block",
+            lambda *a, **k: orig_blk(*a, **{**k, "interpret": True}),
         )
         blk = Block(num_heads=2, dtype=jnp.float32, use_fused=True)
         x = jax.random.normal(jax.random.PRNGKey(6), (2, 16, 32))
