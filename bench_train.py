@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 
 B = 128
-STEPS = 10
+STEPS = 30  # python-loop steps (donated-state chaining); 30 amortizes the
+# relay dispatch variance that made 10-step timings swing +-15% run-to-run
 
 
 def _pruning_cfg(mode: str):
