@@ -262,12 +262,20 @@ class Block(nn.Module):
             if return_cls_attn:
                 y, cls_attn = y
             x = x + dp(y, deterministic=deterministic)
-        if self.use_fused and deterministic and not self.is_initializing():
+        mlp_fusable = (
+            self.use_fused
+            and not self.is_initializing()
+            and (deterministic
+                 or (self.drop == 0.0 and self.drop_path == 0.0))
+        )
+        if mlp_fusable:
             # one VMEM pass for LN2 -> fc1 -> gelu -> fc2 -> +residual: the
-            # (B, N, 4C) fc1 activation never touches HBM
-            # (ops/pallas/mlp.py). Custom VJP (reference backward), so safe
-            # under jax.grad; dropout/droppath are inactive when
-            # deterministic, so semantics match the flax path exactly.
+            # (B, N, 4C) fc1 activation never touches HBM in EITHER
+            # direction (ops/pallas/mlp.py has a fused backward kernel under
+            # the custom VJP), so this path also serves TRAINING whenever
+            # dropout/droppath are inactive — which is the reference's
+            # default pruning-finetune config (no --drop-path flag exists,
+            # utils.py:182-317).
             from dense2sparse_vit_tpu.ops.pallas.mlp import fused_mlp_residual
 
             p = self.variables["params"]

@@ -107,3 +107,27 @@ class TestFusedMlp:
         np.testing.assert_allclose(
             np.asarray(out_fused), np.asarray(out_ref), atol=2e-3, rtol=1e-3
         )
+
+
+class TestFusedMlpBackwardKernel:
+    """The fused backward kernel vs jax.vjp of the reference formula,
+    for every cotangent, aligned and padded N."""
+
+    @pytest.mark.parametrize("n", [16, 13])
+    def test_all_cotangents_match(self, n):
+        args = _make(n=n, seed=4)
+
+        def loss_fused(*a):
+            return jnp.sum(fused_mlp_residual(*a, 1e-6, 8, True) ** 2)
+
+        def loss_ref(*a):
+            return jnp.sum(_reference_mlp_residual(*a, 1e-6) ** 2)
+
+        g_fused = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+        g_ref = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+        names = ["dx", "dln_scale", "dln_bias", "dw1", "db1", "dw2", "db2"]
+        for name, gf, gr in zip(names, g_fused, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(gf), np.asarray(gr), atol=5e-3, rtol=5e-3,
+                err_msg=name,
+            )
