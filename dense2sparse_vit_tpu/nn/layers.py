@@ -192,7 +192,24 @@ class Block(nn.Module):
         C = x.shape[-1]
         cls_attn = None
         dp = DropPath(self.drop_path, name="drop_path")
-        if self.use_fused and deterministic and not self.is_initializing():
+        # fused half-block gates: always on the deterministic path; ALSO in
+        # training when dropout/droppath are inactive (the reference's
+        # default pruning-finetune config) — both halves have fused
+        # backward kernels for the plain mode. Policy mode and CLS capture
+        # under grad keep the flax + packed-attention-kernel path (those
+        # cases' block-level backwards would fall back to the unfused
+        # reference VJP, which is slower than the packed fused backward).
+        drops_off = (
+            self.drop == 0.0 and self.attn_drop == 0.0
+            and self.drop_path == 0.0
+        )
+        attn_fusable = (
+            self.use_fused
+            and not self.is_initializing()
+            and (deterministic
+                 or (drops_off and policy is None and not return_cls_attn))
+        )
+        if attn_fusable:
             # whole attention half-block in one kernel: LN1 folded into the
             # qkv projection, attention core, output projection, and the
             # residual add all in VMEM — the (B, N, 3C) qkv tensor never
@@ -265,8 +282,7 @@ class Block(nn.Module):
         mlp_fusable = (
             self.use_fused
             and not self.is_initializing()
-            and (deterministic
-                 or (self.drop == 0.0 and self.drop_path == 0.0))
+            and (deterministic or drops_off)
         )
         if mlp_fusable:
             # one VMEM pass for LN2 -> fc1 -> gelu -> fc2 -> +residual: the

@@ -388,6 +388,10 @@ class TestFusedAttentionBlock:
         A.fused_attention_block = lambda *a, **k: orig(
             *a, **{**k, "interpret": True}
         )
+        orig_bwd = A.fused_attention_block_backward
+        A.fused_attention_block_backward = lambda *a, **k: orig_bwd(
+            *a, **{**k, "interpret": True}
+        )
         try:
             g_fused = jax.grad(
                 lambda x: jnp.sum(
@@ -398,6 +402,7 @@ class TestFusedAttentionBlock:
             )(args[0])
         finally:
             A.fused_attention_block = orig
+            A.fused_attention_block_backward = orig_bwd
         g_ref = jax.grad(
             lambda x: jnp.sum(
                 A._ref_attention_block(x, *args[1:], 2, None, None, 1e-6) ** 2
@@ -406,3 +411,58 @@ class TestFusedAttentionBlock:
         np.testing.assert_allclose(
             np.asarray(g_fused), np.asarray(g_ref), atol=5e-3, rtol=5e-3
         )
+
+
+class TestFusedAttentionBlockBackward:
+    """The attention half-block backward kernel vs jax.vjp of the jnp
+    reference, every cotangent, aligned and padded N."""
+
+    @pytest.mark.parametrize("n", [16, 13])
+    def test_all_cotangents_match(self, n):
+        import dense2sparse_vit_tpu.ops.pallas.attention as A
+
+        ks = jax.random.split(jax.random.PRNGKey(30), 7)
+        c, heads = 32, 2
+        x = jax.random.normal(ks[0], (B, n, c))
+        args = (
+            x,
+            1.0 + 0.1 * jax.random.normal(ks[1], (c,)),
+            0.1 * jax.random.normal(ks[2], (c,)),
+            jax.random.normal(ks[3], (c, 3 * c)) * 0.1,
+            0.1 * jax.random.normal(ks[4], (3 * c,)),
+            jax.random.normal(ks[5], (c, c)) * 0.1,
+            0.1 * jax.random.normal(ks[6], (c,)),
+        )
+        orig = A.fused_attention_block
+        A.fused_attention_block = lambda *a, **k: orig(
+            *a, **{**k, "interpret": True}
+        )
+        orig_bwd = A.fused_attention_block_backward
+        A.fused_attention_block_backward = lambda *a, **k: orig_bwd(
+            *a, **{**k, "interpret": True}
+        )
+        try:
+            g_fused = jax.grad(
+                lambda *a: jnp.sum(
+                    A.fused_attention_block_trainable(
+                        *a, heads, None, None, 1e-6
+                    ) ** 2
+                ),
+                argnums=tuple(range(7)),
+            )(*args)
+        finally:
+            A.fused_attention_block = orig
+            A.fused_attention_block_backward = orig_bwd
+        g_ref = jax.grad(
+            lambda *a: jnp.sum(
+                A._ref_attention_block(*a, heads, None, None, 1e-6) ** 2
+            ),
+            argnums=tuple(range(7)),
+        )(*args)
+        names = ["dx", "dln_s", "dln_b", "dwqkv", "dbqkv", "dwproj",
+                 "dbproj"]
+        for name, gf, gr in zip(names, g_fused, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(gf), np.asarray(gr), atol=5e-3, rtol=5e-3,
+                err_msg=name,
+            )
