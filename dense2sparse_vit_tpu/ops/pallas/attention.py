@@ -24,12 +24,20 @@ Masking modes:
     columns zeroed except the diagonal, eps/N smoothing — used by
     threshold-mode pruning; padding folds into the policy as zeros.
 
-Differentiability: the raw pallas_call has no VJP; training goes through
-`fused_attention_packed_trainable` / `..._with_cls_trainable`, custom-VJP
-wrappers whose backward differentiates the exact jnp reference formula
-(rematerialized). CLS-attention capture (what the teacher and the student's
-visualization path need per block) is a second kernel output costing no
-extra matmuls (`return_cls=True`).
+Differentiability: every entry point is a custom-VJP wrapper with a FUSED
+backward kernel — `fused_attention_backward_packed` (plain AND policy
+modes, dqkv + dpolicy + CLS-row cotangent folding) for the packed
+kernels, and `fused_attention_block_backward` for the whole half-block
+(recompute-in-VMEM, accumulated parameter gradients). CLS-attention
+capture (what the teacher and the student's visualization path need per
+block) is a second kernel output costing no extra matmuls
+(`return_cls=True`).
+
+Round 2 adds the fully fused HALF-BLOCK (`fused_attention_block`):
+x + proj(attention(qkv(LN1(x)))) in one kernel, LN1 folded into the qkv
+projection so the (B, N, 3C) qkv tensor never exists in HBM; with the MLP
+kernel (ops/pallas/mlp.py) each plain-mode transformer block is exactly
+two Pallas kernels in BOTH directions.
 """
 
 from __future__ import annotations
