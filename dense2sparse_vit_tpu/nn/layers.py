@@ -195,10 +195,9 @@ class Block(nn.Module):
         # fused half-block gates: always on the deterministic path; ALSO in
         # training when dropout/droppath are inactive (the reference's
         # default pruning-finetune config) — both halves have fused
-        # backward kernels for the plain mode. Policy mode and CLS capture
-        # under grad keep the flax + packed-attention-kernel path (those
-        # cases' block-level backwards would fall back to the unfused
-        # reference VJP, which is slower than the packed fused backward).
+        # backward kernels for plain AND policy modes (the policy block
+        # backward emits dPolicy, the gumbel/threshold gradient channel).
+        # Only CLS capture under grad keeps the flax + packed-kernel path.
         drops_off = (
             self.drop == 0.0 and self.attn_drop == 0.0
             and self.drop_path == 0.0
@@ -206,8 +205,7 @@ class Block(nn.Module):
         attn_fusable = (
             self.use_fused
             and not self.is_initializing()
-            and (deterministic
-                 or (drops_off and policy is None and not return_cls_attn))
+            and (deterministic or (drops_off and not return_cls_attn))
         )
         if attn_fusable:
             # whole attention half-block in one kernel: LN1 folded into the

@@ -1006,13 +1006,19 @@ def _fab_bwd(num_heads, scale, ln_eps, res, g):
             dbproj.astype(bproj.dtype),
             None,
         )
-    _, vjp = jax.vjp(
-        lambda x_, ls, lb, wq, bq, wp, bp, pol: _ref_attention_block(
-            x_, ls, lb, wq, bq, wp, bp, num_heads, pol, scale, ln_eps
-        ),
-        x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, policy,
+    dx, dpol, dlns, dlnb, dwqkv, dbqkv, dwproj, dbproj = (
+        fused_attention_block_backward_policy(
+            x, g, policy, ln_scale, ln_bias, wqkv, bqkv, wproj, num_heads,
+            scale=scale, ln_eps=ln_eps,
+        )
     )
-    return vjp(g)
+    return (
+        dx,
+        dlns.astype(ln_scale.dtype), dlnb.astype(ln_bias.dtype),
+        dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),
+        dwproj.astype(wproj.dtype), dbproj.astype(bproj.dtype),
+        dpol.astype(policy.dtype),
+    )
 
 
 fused_attention_block_trainable.defvjp(_fab_fwd, _fab_bwd)
@@ -1282,3 +1288,296 @@ def fused_attention_block_backward(
     if Np != N:
         dx = dx[:, :N]
     return (dx, dlns[0], dlnb[0], dwqkv, dbqkv[0], dwproj, dbproj[0])
+
+
+def _attn_block_bwd_policy_kernel(
+        x_ref, pol_ref, g_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
+        wproj_ref, dx_ref, dpol_ref, dlns_ref, dlnb_ref, dwqkv_ref,
+        dbqkv_ref, dwproj_ref, dbproj_ref, *, scale, eps, ln_eps, n_valid,
+        num_heads, head_dim):
+    """Policy-mode (softmax_with_policy) backward of the attention
+    half-block, including dPolicy — the gradient channel gumbel-policy
+    training flows through. Same recompute-in-VMEM structure as the plain
+    kernel; the attention core follows `_attn_bwd_policy_kernel` (valid-max
+    tie-split, eps/N smoothing, off-diagonal dPolicy colsum over heads)."""
+    nb, np_, c = x_ref.shape
+    rows = nb * np_
+    hd = num_heads * head_dim
+    n = np_
+    dtype = x_ref.dtype
+
+    # ---- forward recompute: LN1 -> qkv ----
+    x2 = x_ref[:].reshape(rows, c)
+    x32 = x2.astype(jnp.float32)
+    ones_c = jnp.ones((c, 8), jnp.float32)
+    mu = jax.lax.dot_general(
+        x32, ones_c, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[:, :1] / c
+    d0 = x32 - mu
+    var = jax.lax.dot_general(
+        d0 * d0, ones_c, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[:, :1] / c
+    rr = jax.lax.rsqrt(var + ln_eps)
+    z = d0 * rr
+    ln_s = lns_ref[:].astype(jnp.float32)
+    ln_out = (z * ln_s + lnb_ref[:].astype(jnp.float32)).astype(dtype)
+    wqkv = wqkv_ref[:]
+    qkv = (jax.lax.dot_general(
+        ln_out, wqkv, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[:].astype(jnp.float32)).astype(dtype).reshape(nb, n, 3 * hd)
+
+    tok = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % np_
+    valid = (tok < n_valid).astype(jnp.float32)
+    g = g_ref[:].reshape(rows, c).astype(jnp.float32)
+    gm = g * valid
+    wproj = wproj_ref[:]
+    datt = jax.lax.dot_general(
+        gm.astype(dtype), wproj, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype).reshape(nb, n, hd)
+
+    row3 = jax.lax.broadcasted_iota(jnp.int32, (nb, n, n), 1)
+    col3 = jax.lax.broadcasted_iota(jnp.int32, (nb, n, n), 2)
+    pad_mask = col3 < n_valid
+    eye = (row3 == col3).astype(jnp.float32)
+    off_diag = 1.0 - eye
+    pol = pol_ref[:]  # (nb, 1, N)
+    attn_policy = pol + (1.0 - pol) * eye
+    cc = eps / n_valid
+    ones_n = jnp.ones((nb, n, 8), jnp.float32)
+    ones_rows3 = jnp.ones((nb, 8, n), jnp.float32)
+
+    att_heads, dq_heads, dk_heads, dv_heads = [], [], [], []
+    dpol_total = jnp.zeros((nb, 8, n), jnp.float32)
+    for h in range(num_heads):
+        o = h * head_dim
+        q = qkv[:, :, o:o + head_dim]
+        k = qkv[:, :, hd + o:hd + o + head_dim]
+        v = qkv[:, :, 2 * hd + o:2 * hd + o + head_dim]
+        gh = datt[:, :, o:o + head_dim]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        m = jnp.max(
+            jnp.where(pad_mask, s, -jnp.inf), axis=-1, keepdims=True
+        )
+        xe = jnp.exp(s - m)
+        e = xe * attn_policy
+        den = jax.lax.dot_general(
+            e, ones_n, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[:, :, :1] + eps
+        p = (e + cc) / den
+        att_heads.append(jax.lax.dot_general(
+            p.astype(dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype))
+        dv_heads.append(jax.lax.dot_general(
+            p.astype(dtype), gh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ))
+        dp = jax.lax.dot_general(
+            gh, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        r = jax.lax.dot_general(
+            dp * p, ones_n, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[:, :, :1]
+        de = (dp - r) / den
+        ds_dir = de * e
+        gmx = -jax.lax.dot_general(
+            ds_dir, ones_n, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[:, :, :1]
+        tie = jnp.where((s == m) & pad_mask, 1.0, 0.0)
+        cnt = jax.lax.dot_general(
+            tie, ones_n, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[:, :, :1]
+        ds = ((ds_dir + gmx * tie / cnt) * scale).astype(dtype)
+        dq_heads.append(jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ))
+        dk_heads.append(jax.lax.dot_general(
+            ds, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ))
+        dpol_total = dpol_total + jax.lax.dot_general(
+            ones_rows3, de * xe * off_diag, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+    dpol_ref[:] = dpol_total[:, :1].astype(dpol_ref.dtype)
+
+    att_out = jnp.concatenate(att_heads, axis=2).reshape(rows, hd)
+    dqkv = jnp.concatenate(
+        dq_heads + dk_heads + dv_heads, axis=2
+    ).reshape(rows, 3 * hd).astype(dtype)
+
+    dln_out = jax.lax.dot_general(
+        dqkv, wqkv, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dz = dln_out * ln_s
+    mdz = jax.lax.dot_general(
+        dz, ones_c, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[:, :1] / c
+    mdzz = jax.lax.dot_general(
+        dz * z, ones_c, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[:, :1] / c
+    dx = rr * (dz - mdz - z * mdzz) * valid + g
+    dx_ref[:] = dx.reshape(nb, np_, c).astype(dx_ref.dtype)
+
+    ones_rows = jnp.ones((8, rows), jnp.float32)
+
+    def colsum(a32):
+        return jax.lax.dot_general(
+            ones_rows, a32, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[:1]
+
+    dwproj_c = jax.lax.dot_general(
+        att_out, gm.astype(dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dbproj_c = colsum(gm)
+    dwqkv_c = jax.lax.dot_general(
+        ln_out, dqkv, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dbqkv_c = colsum(dqkv.astype(jnp.float32))
+    dlns_c = colsum(dln_out * z)
+    dlnb_c = colsum(dln_out)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dwqkv_ref[:] = dwqkv_c.astype(dwqkv_ref.dtype)
+        dbqkv_ref[:] = dbqkv_c.astype(dbqkv_ref.dtype)
+        dwproj_ref[:] = dwproj_c.astype(dwproj_ref.dtype)
+        dbproj_ref[:] = dbproj_c.astype(dbproj_ref.dtype)
+        dlns_ref[:] = dlns_c.astype(dlns_ref.dtype)
+        dlnb_ref[:] = dlnb_c.astype(dlnb_ref.dtype)
+
+    @pl.when(pl.program_id(0) != 0)
+    def _acc():
+        dwqkv_ref[:] += dwqkv_c.astype(dwqkv_ref.dtype)
+        dbqkv_ref[:] += dbqkv_c.astype(dbqkv_ref.dtype)
+        dwproj_ref[:] += dwproj_c.astype(dwproj_ref.dtype)
+        dbproj_ref[:] += dbproj_c.astype(dbproj_ref.dtype)
+        dlns_ref[:] += dlns_c.astype(dlns_ref.dtype)
+        dlnb_ref[:] += dlnb_c.astype(dlnb_ref.dtype)
+
+
+def fused_attention_block_backward_policy(
+    x: jnp.ndarray,
+    g: jnp.ndarray,
+    policy: jnp.ndarray,
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    wqkv: jnp.ndarray,
+    bqkv: jnp.ndarray,
+    wproj: jnp.ndarray,
+    num_heads: int,
+    *,
+    scale: float | None = None,
+    eps: float = 1e-6,
+    ln_eps: float = 1e-6,
+    block_batch: int = 8,
+    interpret: bool = False,
+):
+    """Policy-mode half-block backward: returns
+    (dx, dpolicy, dln_scale, dln_bias, dwqkv, dbqkv, dwproj, dbproj)."""
+    B, N, C = x.shape
+    head_dim = C // num_heads
+    if scale is None:
+        scale = head_dim ** -0.5
+    dtype = x.dtype
+    Np = _round_up(N, 16)
+    pol = policy.astype(jnp.float32)
+    if Np != N:
+        x = jnp.pad(x, [(0, 0), (0, Np - N), (0, 0)])
+        g = jnp.pad(g, [(0, 0), (0, Np - N), (0, 0)])
+        pol = jnp.pad(pol, [(0, 0), (0, Np - N)])
+    nb = block_batch
+    while B % nb:
+        nb //= 2
+    nb = max(nb, 1)
+
+    operands = [
+        x, pol[:, None, :], g.astype(dtype),
+        ln_scale.astype(jnp.float32)[None, :],
+        ln_bias.astype(jnp.float32)[None, :],
+        wqkv.astype(dtype),
+        bqkv.astype(jnp.float32)[None, :],
+        wproj.astype(dtype),
+    ]
+    in_specs = [
+        pl.BlockSpec((nb, Np, C), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nb, 1, Np), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nb, Np, C), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for op in operands[3:]:
+        in_specs.append(
+            pl.BlockSpec(op.shape, lambda b, nd=op.ndim: (0,) * nd,
+                         memory_space=pltpu.VMEM)
+        )
+
+    def cspec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda b, nd=nd: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    out_specs = (
+        pl.BlockSpec((nb, Np, C), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nb, 1, Np), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        cspec((1, C)), cspec((1, C)),
+        cspec((C, 3 * C)), cspec((1, 3 * C)),
+        cspec((C, C)), cspec((1, C)),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((B, Np, C), dtype),
+        jax.ShapeDtypeStruct((B, 1, Np), jnp.float32),
+        jax.ShapeDtypeStruct((1, C), jnp.float32),
+        jax.ShapeDtypeStruct((1, C), jnp.float32),
+        jax.ShapeDtypeStruct((C, 3 * C), jnp.float32),
+        jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),
+        jax.ShapeDtypeStruct((C, C), jnp.float32),
+        jax.ShapeDtypeStruct((1, C), jnp.float32),
+    )
+    dx, dpol, dlns, dlnb, dwqkv, dbqkv, dwproj, dbproj = pl.pallas_call(
+        functools.partial(
+            _attn_block_bwd_policy_kernel,
+            scale=scale, eps=eps, ln_eps=ln_eps, n_valid=N,
+            num_heads=num_heads, head_dim=head_dim,
+        ),
+        grid=(B // nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=7 * 2 * B * num_heads * Np * Np * head_dim
+            + 6 * 2 * B * Np * C * 3 * C,
+            bytes_accessed=4 * B * Np * C * jnp.dtype(dtype).itemsize,
+            transcendentals=B * num_heads * Np * Np,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*operands)
+    dpol = dpol[:, 0, :N]
+    if Np != N:
+        dx = dx[:, :N]
+    return (dx, dpol, dlns[0], dlnb[0], dwqkv, dbqkv[0], dwproj, dbproj[0])

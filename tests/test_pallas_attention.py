@@ -466,3 +466,63 @@ class TestFusedAttentionBlockBackward:
                 np.asarray(gf), np.asarray(gr), atol=5e-3, rtol=5e-3,
                 err_msg=name,
             )
+
+
+class TestFusedAttentionBlockBackwardPolicy:
+    """Policy-mode half-block backward kernel vs jax.vjp of the jnp
+    reference — incl. dPolicy, the gumbel/threshold gradient channel."""
+
+    @pytest.mark.parametrize("n", [16, 13])
+    def test_all_cotangents_match(self, n):
+        import dense2sparse_vit_tpu.ops.pallas.attention as A
+
+        ks = jax.random.split(jax.random.PRNGKey(40), 7)
+        c, heads = 32, 2
+        x = jax.random.normal(ks[0], (B, n, c))
+        args = (
+            x,
+            1.0 + 0.1 * jax.random.normal(ks[1], (c,)),
+            0.1 * jax.random.normal(ks[2], (c,)),
+            jax.random.normal(ks[3], (c, 3 * c)) * 0.1,
+            0.1 * jax.random.normal(ks[4], (3 * c,)),
+            jax.random.normal(ks[5], (c, c)) * 0.1,
+            0.1 * jax.random.normal(ks[6], (c,)),
+        )
+        # soft policy (gumbel-style keep probabilities) so dPolicy is dense
+        pol = jax.random.uniform(jax.random.PRNGKey(41), (B, n))
+        orig = A.fused_attention_block
+        A.fused_attention_block = lambda *a, **k: orig(
+            *a, **{**k, "interpret": True}
+        )
+        orig_bwd = A.fused_attention_block_backward_policy
+        A.fused_attention_block_backward_policy = lambda *a, **k: orig_bwd(
+            *a, **{**k, "interpret": True}
+        )
+        try:
+            g_fused = jax.grad(
+                lambda x_, p_: jnp.sum(
+                    A.fused_attention_block_trainable(
+                        x_, *args[1:], 2, p_, None, 1e-6
+                    ) ** 2
+                ),
+                argnums=(0, 1),
+            )(args[0], pol)
+        finally:
+            A.fused_attention_block = orig
+            A.fused_attention_block_backward_policy = orig_bwd
+        g_ref = jax.grad(
+            lambda x_, p_: jnp.sum(
+                A._ref_attention_block(
+                    x_, *args[1:], 2, p_, None, 1e-6
+                ) ** 2
+            ),
+            argnums=(0, 1),
+        )(args[0], pol)
+        np.testing.assert_allclose(
+            np.asarray(g_fused[0]), np.asarray(g_ref[0]),
+            atol=5e-3, rtol=5e-3, err_msg="dx",
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_fused[1]), np.asarray(g_ref[1]),
+            atol=5e-3, rtol=5e-3, err_msg="dpolicy",
+        )
