@@ -526,3 +526,49 @@ class TestFusedAttentionBlockBackwardPolicy:
             np.asarray(g_fused[1]), np.asarray(g_ref[1]),
             atol=5e-3, rtol=5e-3, err_msg="dpolicy",
         )
+
+
+class TestBlockKernelsOddBatch:
+    """Batch sizes that halve down to nb=1 still work for the half-block
+    kernels in both directions."""
+
+    def test_forward_odd_batch(self):
+        import dense2sparse_vit_tpu.ops.pallas.attention as A
+
+        ks = jax.random.split(jax.random.PRNGKey(50), 7)
+        c = 32
+        x = jax.random.normal(ks[0], (3, 16, c))  # B=3 -> nb=1
+        args = (
+            x,
+            1.0 + 0.1 * jax.random.normal(ks[1], (c,)),
+            0.1 * jax.random.normal(ks[2], (c,)),
+            jax.random.normal(ks[3], (c, 3 * c)) * 0.1,
+            0.1 * jax.random.normal(ks[4], (3 * c,)),
+            jax.random.normal(ks[5], (c, c)) * 0.1,
+            0.1 * jax.random.normal(ks[6], (c,)),
+        )
+        want = A._ref_attention_block(*args, 2, None, None, 1e-6)
+        got = A.fused_attention_block(*args, 2, None, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-3, rtol=1e-3
+        )
+
+    def test_backward_odd_batch(self):
+        import dense2sparse_vit_tpu.ops.pallas.attention as A
+
+        ks = jax.random.split(jax.random.PRNGKey(51), 8)
+        c = 32
+        x = jax.random.normal(ks[0], (3, 13, c))
+        g = jax.random.normal(ks[7], (3, 13, c))
+        out = A.fused_attention_block_backward(
+            x, g,
+            1.0 + 0.1 * jax.random.normal(ks[1], (c,)),
+            0.1 * jax.random.normal(ks[2], (c,)),
+            jax.random.normal(ks[3], (c, 3 * c)) * 0.1,
+            0.1 * jax.random.normal(ks[4], (3 * c,)),
+            jax.random.normal(ks[5], (c, c)) * 0.1,
+            2, interpret=True,
+        )
+        assert out[0].shape == (3, 13, c)
+        for t in out:
+            assert np.isfinite(np.asarray(t)).all()

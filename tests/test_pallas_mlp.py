@@ -131,3 +131,17 @@ class TestFusedMlpBackwardKernel:
                 np.asarray(gf), np.asarray(gr), atol=5e-3, rtol=5e-3,
                 err_msg=name,
             )
+
+
+class TestMlpKernelOddBatch:
+    def test_forward_and_backward_odd_batch(self):
+        args = _make(b=3, n=13, seed=9)  # B=3 -> nb=1
+        want = _reference_mlp_residual(*args, 1e-6)
+        got = fused_mlp_residual(*args, 1e-6, 8, True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-3, rtol=1e-3
+        )
+        g = jax.grad(
+            lambda *a: jnp.sum(fused_mlp_residual(*a, 1e-6, 8, True) ** 2)
+        )(*args)
+        assert np.isfinite(np.asarray(g)).all()
