@@ -208,14 +208,16 @@ class Block(nn.Module):
             and (deterministic or (drops_off and not return_cls_attn))
         )
         if attn_fusable:
-            # whole attention half-block in one kernel: LN1 folded into the
-            # qkv projection, attention core, output projection, and the
-            # residual add all in VMEM — the (B, N, 3C) qkv tensor never
-            # exists in HBM (ops/pallas/attention.py::fused_attention_block).
-            # Custom VJP (reference backward); dropout/droppath are inactive
-            # when deterministic, so semantics match the flax path exactly.
-            from dense2sparse_vit_tpu.ops.pallas.attention import (
-                fused_attention_block_trainable,
+            # the WHOLE block as one Pallas kernel (ops/pallas/block.py):
+            # LN1 folded into qkv, attention core, proj, residual, then the
+            # MLP half on the VMEM-resident intermediate — per block, HBM
+            # sees one read of x and one write of the output. Custom VJP
+            # chains the two fused half-block backward kernels.
+            # Dropout/droppath are inactive on every path that reaches
+            # here, so semantics match the flax path exactly.
+            from dense2sparse_vit_tpu.ops.pallas.block import (
+                fused_transformer_block,
+                fused_transformer_block_trainable,
             )
 
             p = self.variables["params"]
@@ -229,36 +231,33 @@ class Block(nn.Module):
                 policy.reshape(x.shape[0], x.shape[1])
                 if policy is not None else None
             )
+            pd = {
+                "ln1_scale": p["norm1"]["scale"],
+                "ln1_bias": p["norm1"]["bias"],
+                "wqkv": ap["qkv"]["kernel"].astype(self.dtype),
+                "bqkv": bqkv,
+                "wproj": ap["proj"]["kernel"].astype(self.dtype),
+                "bproj": ap["proj"]["bias"],
+                "ln2_scale": p["norm2"]["scale"],
+                "ln2_bias": p["norm2"]["bias"],
+                "w1": p["mlp"]["fc1"]["kernel"].astype(self.dtype),
+                "b1": p["mlp"]["fc1"]["bias"],
+                "w2": p["mlp"]["fc2"]["kernel"].astype(self.dtype),
+                "b2": p["mlp"]["fc2"]["bias"],
+            }
+            sc = self.qk_scale or head_dim ** -0.5
             if return_cls_attn:
                 # CLS-row capture is a second kernel output (no extra
-                # matmuls). This path is only taken without gradients
-                # (teacher capture / eval / viz), so the raw kernel is fine.
-                from dense2sparse_vit_tpu.ops.pallas.attention import (
-                    fused_attention_block,
+                # matmuls); only reached without gradients (teacher
+                # capture / eval / viz), so the raw kernel is fine.
+                x, cls_attn = fused_transformer_block(
+                    x, pd, self.num_heads, pol, scale=sc,
+                    ln_eps=self.layer_norm_eps, return_cls=True,
                 )
-
-                x, cls_attn = fused_attention_block(
-                    x,
-                    p["norm1"]["scale"], p["norm1"]["bias"],
-                    ap["qkv"]["kernel"].astype(self.dtype), bqkv,
-                    ap["proj"]["kernel"].astype(self.dtype),
-                    ap["proj"]["bias"],
-                    self.num_heads, pol,
-                    scale=self.qk_scale or head_dim ** -0.5,
-                    ln_eps=self.layer_norm_eps,
-                    return_cls=True,
-                )
-            else:
-                x = fused_attention_block_trainable(
-                    x,
-                    p["norm1"]["scale"], p["norm1"]["bias"],
-                    ap["qkv"]["kernel"].astype(self.dtype), bqkv,
-                    ap["proj"]["kernel"].astype(self.dtype),
-                    ap["proj"]["bias"],
-                    self.num_heads, pol,
-                    self.qk_scale or head_dim ** -0.5,
-                    self.layer_norm_eps,
-                )
+                return x, cls_attn
+            return fused_transformer_block_trainable(
+                x, pd, self.num_heads, pol, sc, self.layer_norm_eps,
+            )
         else:
             y = nn.LayerNorm(
                 epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm1"

@@ -73,18 +73,20 @@ class TestFusedMlp:
             )
 
     def test_block_routes_to_fused_on_deterministic(self, monkeypatch):
-        import dense2sparse_vit_tpu.ops.pallas.mlp as M
+        import dense2sparse_vit_tpu.ops.pallas.block as BK
         from dense2sparse_vit_tpu.nn.layers import Block
 
         calls = []
-        orig = M.fused_mlp_residual
+        orig_ftb = BK.fused_transformer_block
 
         def spy(*a, **k):
             calls.append(1)
-            return orig(*a[:7], 1e-6, 8, True)
+            return orig_ftb(*a, **{**k, "interpret": True})
 
-        monkeypatch.setattr(M, "fused_mlp_residual", spy)
-        # the attention kernels must also run in interpret mode on CPU
+        # Block's deterministic path goes through the whole-block kernel
+        monkeypatch.setattr(BK, "fused_transformer_block", spy)
+        # init still traces the flax Attention path (packed kernel): run it
+        # in interpret mode on CPU
         import dense2sparse_vit_tpu.ops.pallas.attention as A
 
         orig_attn = A.fused_attention_packed
@@ -92,16 +94,11 @@ class TestFusedMlp:
             A, "fused_attention_packed",
             lambda *a, **k: orig_attn(*a, **{**k, "interpret": True}),
         )
-        orig_blk = A.fused_attention_block
-        monkeypatch.setattr(
-            A, "fused_attention_block",
-            lambda *a, **k: orig_blk(*a, **{**k, "interpret": True}),
-        )
         blk = Block(num_heads=2, dtype=jnp.float32, use_fused=True)
         x = jax.random.normal(jax.random.PRNGKey(6), (2, 16, 32))
         params = blk.init(jax.random.PRNGKey(7), x)
         out_fused = blk.apply(params, x, deterministic=True)
-        assert calls, "fused MLP path not taken"
+        assert calls, "fused whole-block path not taken"
         blk_ref = Block(num_heads=2, dtype=jnp.float32, use_fused=False)
         out_ref = blk_ref.apply(params, x, deterministic=True)
         np.testing.assert_allclose(
