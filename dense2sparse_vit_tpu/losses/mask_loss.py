@@ -82,7 +82,12 @@ def mask_loss(
                 renorm = jnp.take_along_axis(renorm, kept_idx[i - 1], axis=-1)
             else:
                 renorm = renorm * keep_masks[i - 1].astype(renorm.dtype)
-            renorm = renorm / jnp.sum(renorm, axis=-1, keepdims=True)
+            # guard 0/0: a threshold >= the total score mass can zero a
+            # sample's entire keep mask; the floored denominator turns that
+            # sample's target into zeros (KL contribution 0) instead of NaN
+            renorm = renorm / jnp.maximum(
+                jnp.sum(renorm, axis=-1, keepdims=True), 1e-30
+            )
             stage_ratio = keep_ratios[i] / keep_ratios[i - 1]
         else:
             stage_ratio = keep_ratios[i]

@@ -55,7 +55,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _attn_kernel(qkv_ref, policy_ref, out_ref, *cls_ref_opt, scale, eps,
-                 n_valid, num_heads, head_dim, use_policy):
+                 n_valid, num_heads, head_dim, use_policy, exact=False):
     """nb batch rows: qkv_ref (nb, N, 3*H*d), policy_ref (nb, 1, N),
     out_ref (nb, N, H*d); optional cls_ref (nb, H, N) receives the CLS
     (row 0) attention probabilities per head.
@@ -98,6 +98,14 @@ def _attn_kernel(qkv_ref, policy_ref, out_ref, *cls_ref_opt, scale, eps,
                 jnp.where(pad_mask, s, -jnp.inf), axis=-1, keepdims=True
             )
             e = (jnp.exp(s - m) * attn_policy).astype(v.dtype)
+        elif exact:
+            # trainable path: true valid-column row-max subtraction —
+            # softmax is shift-invariant, so the standard softmax VJP in
+            # the backward kernels is exact for ANY logit range (the
+            # clamp below silently deviates beyond |logit| > 30)
+            s = jnp.where(pad_mask, s, -jnp.inf)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m).astype(v.dtype)
         else:
             # inference fast path: cross-lane row reductions are the VPU
             # bottleneck here, so (1) replace the row-max shift with a
@@ -151,6 +159,7 @@ def fused_attention_packed(
     eps: float = 1e-6,
     block_batch: int = 8,
     return_cls: bool = False,
+    exact: bool = False,
     interpret: bool = False,
 ):
     """Fused attention on the packed qkv projection output.
@@ -201,6 +210,7 @@ def fused_attention_packed(
         num_heads=num_heads,
         head_dim=head_dim,
         use_policy=use_policy,
+        exact=exact,
     )
     out_specs = pl.BlockSpec((nb, Np, hd), lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -252,17 +262,20 @@ def fused_attention_packed(
     jax.custom_vjp, nondiff_argnums=(1, 3)
 )
 def fused_attention_packed_trainable(qkv, num_heads, policy=None, scale=None):
-    """Differentiable fused attention: Pallas forward, reference backward.
+    """Differentiable fused attention: Pallas forward AND Pallas backward.
 
-    The forward runs the fused kernel (scores never touch HBM); the backward
-    recomputes attention with the jnp reference formula and differentiates
-    THAT — a rematerialized backward whose math matches the unfused path
-    exactly. (A hand-written backward kernel is a future optimization; this
-    already removes the forward's HBM traffic from training.)
+    The forward runs the fused kernel with exact row-max softmax (the
+    inference clamp fast path is numerically wrong past |logit| > 30, so
+    the trainable path never uses it); the backward dispatches to the fused
+    backward kernels (`fused_attention_backward_packed`) which recompute P
+    in VMEM and run the five attention-backward dots per head — plain and
+    policy (softmax_with_policy, incl. dPolicy) modes. No (B, H, N, N)
+    tensor ever touches HBM in either direction.
 
     num_heads and scale are static (nondiff) arguments.
     """
-    return fused_attention_packed(qkv, num_heads, policy, scale=scale)
+    return fused_attention_packed(qkv, num_heads, policy, scale=scale,
+                                  exact=True)
 
 
 def _ref_attention_packed(qkv, num_heads, policy, scale):
@@ -288,7 +301,8 @@ def _ref_attention_packed(qkv, num_heads, policy, scale):
 
 
 def _fat_fwd(qkv, num_heads, policy, scale):
-    out = fused_attention_packed(qkv, num_heads, policy, scale=scale)
+    out = fused_attention_packed(qkv, num_heads, policy, scale=scale,
+                                 exact=True)
     return out, (qkv, policy)
 
 
@@ -353,8 +367,10 @@ def _attn_bwd_kernel(qkv_ref, g_ref, *refs, scale, n_valid, num_heads,
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale
-        s = jnp.where(pad_mask, jnp.clip(s, -30.0, 30.0), -jnp.inf)
-        e = jnp.exp(s)
+        # exact row-max recompute (matches the trainable forward's exact
+        # softmax; shift invariance makes the VJP below exact regardless)
+        s = jnp.where(pad_mask, s, -jnp.inf)
+        e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
         # rowsum via ones-matmul (lane reductions are the VPU bottleneck)
         den = jax.lax.dot_general(
             e, ones_n, (((2,), (1,)), ((0,), (0,))),
@@ -660,7 +676,7 @@ def fused_attention_packed_with_cls_trainable(
     """Like fused_attention_packed_trainable but also returns the (B, H, N)
     CLS-row attention probabilities (second output)."""
     return fused_attention_packed(
-        qkv, num_heads, policy, scale=scale, return_cls=True
+        qkv, num_heads, policy, scale=scale, return_cls=True, exact=True
     )
 
 
@@ -690,7 +706,7 @@ def _ref_attention_packed_with_cls(qkv, num_heads, policy, scale):
 
 def _fatc_fwd(qkv, num_heads, policy, scale):
     out = fused_attention_packed(
-        qkv, num_heads, policy, scale=scale, return_cls=True
+        qkv, num_heads, policy, scale=scale, return_cls=True, exact=True
     )
     return out, (qkv, policy)
 
@@ -748,7 +764,7 @@ def fused_attention(
 
 def _attn_block_kernel(x_ref, pol_ref, wqkv_ref, cs_ref, b1p_ref, wproj_ref,
                        bproj_ref, out_ref, *cls_ref_opt, scale, eps, ln_eps,
-                       n_valid, num_heads, head_dim, use_policy):
+                       n_valid, num_heads, head_dim, use_policy, exact=False):
     """The whole pre-norm attention half-block in one VMEM pass.
 
     LN1 is folded into the qkv projection (scale into the kernel,
@@ -782,9 +798,14 @@ def _attn_block_kernel(x_ref, pol_ref, wqkv_ref, cs_ref, b1p_ref, wproj_ref,
         x2, wqkv_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (rows, 3C) fp32
+    # zero padded qkv rows: LN of a zero row is ln_bias, so b1p makes them
+    # nonzero — the policy eps/N colsum_v term below would otherwise pick
+    # up O(eps*pad) contamination absent from the packed kernel / jnp ref
+    rowtok = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % n
+    row_valid = (rowtok < n_valid).astype(jnp.float32)
     qkv = (
-        rr * t - (rr * mu) * cs_ref[:].astype(jnp.float32)
-        + b1p_ref[:].astype(jnp.float32)
+        (rr * t - (rr * mu) * cs_ref[:].astype(jnp.float32)
+         + b1p_ref[:].astype(jnp.float32)) * row_valid
     ).astype(x2.dtype).reshape(nb, n, 3 * hd)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (nb, n, n), 2)
@@ -811,6 +832,11 @@ def _attn_block_kernel(x_ref, pol_ref, wqkv_ref, cs_ref, b1p_ref, wproj_ref,
                 jnp.where(pad_mask, s, -jnp.inf), axis=-1, keepdims=True
             )
             e = (jnp.exp(s - m) * attn_policy).astype(v.dtype)
+        elif exact:
+            # trainable path: exact row-max softmax (see _attn_kernel)
+            s = jnp.where(pad_mask, s, -jnp.inf)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m).astype(v.dtype)
         else:
             s = jnp.where(pad_mask, jnp.clip(s, -30.0, 30.0), -jnp.inf)
             e = jnp.exp(s).astype(v.dtype)
@@ -865,6 +891,7 @@ def fused_attention_block(
     ln_eps: float = 1e-6,
     block_batch: int = 8,
     return_cls: bool = False,
+    exact: bool = False,
     interpret: bool = False,
 ):
     """x + proj(attention(qkv(LN1(x)))) in one kernel. x: (B, N, C)."""
@@ -917,6 +944,7 @@ def fused_attention_block(
         num_heads=num_heads,
         head_dim=head_dim,
         use_policy=use_policy,
+        exact=exact,
     )
     out_specs = pl.BlockSpec((nb, Np, C), lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -972,18 +1000,21 @@ def fused_attention_block_trainable(
     x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, num_heads,
     policy=None, scale=None, ln_eps=1e-6,
 ):
-    """Differentiable wrapper: Pallas forward, reference backward."""
+    """Differentiable half-block: Pallas forward (exact row-max softmax)
+    and fused Pallas backward kernels (`fused_attention_block_backward` /
+    `..._backward_policy` — recompute-in-VMEM, accumulated parameter
+    grads, dPolicy in policy mode)."""
     return fused_attention_block(
         x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, num_heads, policy,
-        scale=scale, ln_eps=ln_eps,
+        scale=scale, ln_eps=ln_eps, exact=True,
     )
 
 
 def _fab_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, num_heads,
              policy, scale, ln_eps):
-    out = fused_attention_block_trainable(
+    out = fused_attention_block(
         x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, num_heads, policy,
-        scale, ln_eps,
+        scale=scale, ln_eps=ln_eps, exact=True,
     )
     return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, policy)
 
@@ -1093,8 +1124,10 @@ def _attn_block_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref,
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale
-        s = jnp.where(pad_mask, jnp.clip(s, -30.0, 30.0), -jnp.inf)
-        e = jnp.exp(s)
+        # exact row-max recompute (matches the trainable forward's exact
+        # softmax; shift invariance makes the VJP below exact regardless)
+        s = jnp.where(pad_mask, s, -jnp.inf)
+        e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
         den = jax.lax.dot_general(
             e, ones_n, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -1324,13 +1357,18 @@ def _attn_block_bwd_policy_kernel(
     ln_s = lns_ref[:].astype(jnp.float32)
     ln_out = (z * ln_s + lnb_ref[:].astype(jnp.float32)).astype(dtype)
     wqkv = wqkv_ref[:]
-    qkv = (jax.lax.dot_general(
-        ln_out, wqkv, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bqkv_ref[:].astype(jnp.float32)).astype(dtype).reshape(nb, n, 3 * hd)
-
     tok = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % np_
     valid = (tok < n_valid).astype(jnp.float32)
+    # zero padded qkv rows (matches the forward kernel): without this the
+    # eps/N term would leak padded-V mass into valid rows' p and the
+    # weight-grad reductions
+    qkv = ((jax.lax.dot_general(
+        ln_out, wqkv, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[:].astype(jnp.float32)) * valid).astype(dtype).reshape(
+        nb, n, 3 * hd
+    )
+
     g = g_ref[:].reshape(rows, c).astype(jnp.float32)
     gm = g * valid
     wproj = wproj_ref[:]
@@ -1342,6 +1380,7 @@ def _attn_block_bwd_policy_kernel(
     row3 = jax.lax.broadcasted_iota(jnp.int32, (nb, n, n), 1)
     col3 = jax.lax.broadcasted_iota(jnp.int32, (nb, n, n), 2)
     pad_mask = col3 < n_valid
+    pad_f = pad_mask.astype(jnp.float32)
     eye = (row3 == col3).astype(jnp.float32)
     off_diag = 1.0 - eye
     pol = pol_ref[:]  # (nb, 1, N)
@@ -1371,7 +1410,10 @@ def _attn_block_bwd_policy_kernel(
             e, ones_n, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )[:, :, :1] + eps
-        p = (e + cc) / den
+        # eps/N smoothing restricted to VALID columns: on the unpadded
+        # reference every column is valid; an unmasked cc here would give
+        # padded columns p = cc/den and leak into dv / dwqkv
+        p = (e + cc * pad_f) / den
         att_heads.append(jax.lax.dot_general(
             p.astype(dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,

@@ -36,7 +36,7 @@ def _round_up(x: int, m: int) -> int:
 def _block_kernel(x_ref, pol_ref, wqkv_ref, csq_ref, bqp_ref, wproj_ref,
                   bproj_ref, w1s_ref, cs1_ref, b1p_ref, w2_ref, b2_ref,
                   out_ref, *cls_ref_opt, scale, eps, ln_eps, n_valid,
-                  num_heads, head_dim, use_policy):
+                  num_heads, head_dim, use_policy, exact=False):
     cls_ref = cls_ref_opt[0] if cls_ref_opt else None
     nb, np_, c = x_ref.shape
     rows = nb * np_
@@ -67,9 +67,14 @@ def _block_kernel(x_ref, pol_ref, wqkv_ref, csq_ref, bqp_ref, wproj_ref,
 
     # ---- attention half ----
     x2 = x_ref[:].reshape(rows, c)
-    qkv = ln_folded_matmul(
+    # zero padded qkv rows (LN of a zero row is ln_bias, so the folded
+    # bias makes them nonzero) — keeps the policy eps/N colsum_v term
+    # free of O(eps*pad) contamination, matching the packed kernel
+    rowtok = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % n
+    row_valid = (rowtok < n_valid).astype(jnp.float32)
+    qkv = (ln_folded_matmul(
         x2, wqkv_ref[:], csq_ref[:], bqp_ref[:]
-    ).astype(dtype).reshape(nb, n, 3 * hd)
+    ) * row_valid).astype(dtype).reshape(nb, n, 3 * hd)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (nb, n, n), 2)
     pad_mask = col < n_valid
@@ -94,6 +99,11 @@ def _block_kernel(x_ref, pol_ref, wqkv_ref, csq_ref, bqp_ref, wproj_ref,
                 jnp.where(pad_mask, s, -jnp.inf), axis=-1, keepdims=True
             )
             e = (jnp.exp(s - m) * attn_policy).astype(v.dtype)
+        elif exact:
+            # trainable path: exact row-max softmax (see _attn_kernel)
+            s = jnp.where(pad_mask, s, -jnp.inf)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m).astype(v.dtype)
         else:
             s = jnp.where(pad_mask, jnp.clip(s, -30.0, 30.0), -jnp.inf)
             e = jnp.exp(s).astype(v.dtype)
@@ -164,6 +174,7 @@ def fused_transformer_block(
     ln_eps: float = 1e-6,
     block_batch: int = 8,
     return_cls: bool = False,
+    exact: bool = False,
     interpret: bool = False,
 ):
     """One whole pre-norm transformer block in one kernel.
@@ -238,6 +249,7 @@ def fused_transformer_block(
             _block_kernel,
             scale=scale, eps=eps, ln_eps=ln_eps, n_valid=N,
             num_heads=num_heads, head_dim=head_dim, use_policy=use_policy,
+            exact=exact,
         ),
         grid=(B // nb,),
         in_specs=in_specs,
@@ -286,13 +298,13 @@ def fused_transformer_block_trainable(
     recomputes x_mid with the attention half kernel and chains the two
     fused half-block backward kernels."""
     return fused_transformer_block(
-        x, params, num_heads, policy, scale=scale, ln_eps=ln_eps,
+        x, params, num_heads, policy, scale=scale, ln_eps=ln_eps, exact=True,
     )
 
 
 def _ftb_fwd(x, params, num_heads, policy, scale, ln_eps):
-    out = fused_transformer_block_trainable(
-        x, params, num_heads, policy, scale, ln_eps,
+    out = fused_transformer_block(
+        x, params, num_heads, policy, scale=scale, ln_eps=ln_eps, exact=True,
     )
     return out, (x, params, policy)
 
@@ -311,7 +323,7 @@ def _ftb_bwd(num_heads, scale, ln_eps, res, g):
     x_mid = fused_attention_block(
         x, p["ln1_scale"], p["ln1_bias"], p["wqkv"], p["bqkv"],
         p["wproj"], p["bproj"], num_heads, policy,
-        scale=scale, ln_eps=ln_eps,
+        scale=scale, ln_eps=ln_eps, exact=True,
     )
     dxmid, dlns2, dlnb2, dw1, db1, dw2, db2 = fused_mlp_residual_backward(
         x_mid, g, p["ln2_scale"], p["ln2_bias"], p["w1"], p["b1"], p["w2"],

@@ -143,9 +143,31 @@ def run_experiment(
 
     ckpt = CheckpointManager(f"{workdir}/ckpt")
     start_epoch = 0
-    if resume and ckpt.latest_step() is not None:
-        state = ckpt.restore(state)
-        start_epoch = int(state.step) // steps_per_epoch
+    if resume:
+        # Multi-host: workdirs may be process-local (no shared filesystem),
+        # so only process 0's checkpoint is authoritative. Restore there and
+        # broadcast — otherwise non-primary hosts would silently keep their
+        # fresh init and the _repl below would assemble a "replicated" state
+        # from divergent per-host copies.
+        has_ckpt = ckpt.latest_step() is not None
+        if nproc > 1:
+            from jax.experimental import multihost_utils
+
+            has_ckpt = bool(
+                multihost_utils.broadcast_one_to_all(np.asarray(has_ckpt))
+            )
+            if has_ckpt:
+                if ckpt.latest_step() is not None:
+                    state = ckpt.restore(state)
+                state = jax.device_get(
+                    multihost_utils.broadcast_one_to_all(
+                        jax.device_get(state)
+                    )
+                )
+        elif has_ckpt:
+            state = ckpt.restore(state)
+        if has_ckpt:
+            start_epoch = int(state.step) // steps_per_epoch
 
     if nproc > 1:
         # replicate across hosts: every process contributes the same value

@@ -1,13 +1,19 @@
 """Whole-block single-kernel vs the composed half-block references."""
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import dense2sparse_vit_tpu.ops.pallas.attention as A
+import dense2sparse_vit_tpu.ops.pallas.block as BLK
+import dense2sparse_vit_tpu.ops.pallas.mlp as M
 from dense2sparse_vit_tpu.ops.pallas.block import (
     _ref_block,
     fused_transformer_block,
+    fused_transformer_block_trainable,
 )
 
 
@@ -40,9 +46,22 @@ class TestFusedTransformerBlock:
             np.asarray(got), np.asarray(want), atol=3e-3, rtol=2e-3
         )
 
-    def test_policy_and_cls(self):
+    def _ref_cls(self, x, p, num_heads, pol):
+        """Reference CLS-row attention probabilities of the block's
+        attention half: LN1 -> qkv -> softmax(_with_policy) row 0."""
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True) - mu * mu
+        h = ((x32 - mu) * jax.lax.rsqrt(var + 1e-6)
+             * p["ln1_scale"].astype(jnp.float32)
+             + p["ln1_bias"].astype(jnp.float32)).astype(x.dtype)
+        qkv = h @ p["wqkv"].astype(x.dtype) + p["bqkv"].astype(x.dtype)
+        _, cls = A._ref_attention_packed_with_cls(qkv, num_heads, pol, None)
+        return cls
+
+    @pytest.mark.parametrize("n", [16, 13])
+    def test_policy_and_cls_values(self, n):
         p = _params(seed=62)
-        n = 16
         x = jax.random.normal(jax.random.PRNGKey(63), (2, n, 32))
         pol = (jax.random.uniform(jax.random.PRNGKey(64), (2, n)) > 0.3
                ).astype(jnp.float32)
@@ -53,4 +72,109 @@ class TestFusedTransformerBlock:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=3e-3, rtol=2e-3
         )
-        assert cls.shape == (2, 2, n)
+        # CLS probabilities checked by VALUE against the jnp reference
+        want_cls = self._ref_cls(x, p, 2, pol)
+        np.testing.assert_allclose(
+            np.asarray(cls), np.asarray(want_cls), atol=3e-3, rtol=2e-3
+        )
+
+    @pytest.mark.parametrize("n", [16, 13])
+    def test_plain_cls_values(self, n):
+        p = _params(seed=66)
+        x = jax.random.normal(jax.random.PRNGKey(67), (2, n, 32))
+        got, cls = fused_transformer_block(
+            x, p, 2, return_cls=True, interpret=True
+        )
+        want_cls = self._ref_cls(x, p, 2, None)
+        np.testing.assert_allclose(
+            np.asarray(cls), np.asarray(want_cls), atol=3e-3, rtol=2e-3
+        )
+
+
+class TestBlockTrainableVJP:
+    """Direct VJP equivalence of fused_transformer_block_trainable — the
+    exact kernel path every training block takes (nn/layers.py::Block) —
+    against jax.vjp of the composed jnp reference: all 13 cotangents
+    (dx + 12 parameter grads), plus dPolicy in policy mode, aligned and
+    padded N."""
+
+    def _patched(self):
+        """Force interpret=True on every pallas entry the trainable path
+        hits (tests run on CPU)."""
+        return [
+            (BLK, "fused_transformer_block",
+             functools.partial(fused_transformer_block, interpret=True)),
+            (A, "fused_attention_block",
+             functools.partial(A.fused_attention_block, interpret=True)),
+            (A, "fused_attention_block_backward",
+             functools.partial(
+                 A.fused_attention_block_backward, interpret=True)),
+            (A, "fused_attention_block_backward_policy",
+             functools.partial(
+                 A.fused_attention_block_backward_policy, interpret=True)),
+            (M, "fused_mlp_residual_backward",
+             functools.partial(
+                 M.fused_mlp_residual_backward, interpret=True)),
+        ]
+
+    @pytest.mark.parametrize("n", [16, 13])
+    @pytest.mark.parametrize("use_policy", [False, True])
+    def test_all_cotangents_match_reference_vjp(self, n, use_policy):
+        p = _params(seed=70)
+        x = jax.random.normal(jax.random.PRNGKey(71), (4, n, 32))
+        pol = (
+            (jax.random.uniform(jax.random.PRNGKey(72), (4, n)) > 0.3
+             ).astype(jnp.float32)
+            if use_policy else None
+        )
+        g = jax.random.normal(jax.random.PRNGKey(73), (4, n, 32))
+
+        if use_policy:
+            want_out, ref_vjp = jax.vjp(
+                lambda xx, pp, pol_: _ref_block(xx, pp, 2, pol_, None, 1e-6),
+                x, p, pol,
+            )
+            want = ref_vjp(g)  # (dx, dparams, dpol)
+        else:
+            want_out, ref_vjp = jax.vjp(
+                lambda xx, pp: _ref_block(xx, pp, 2, None, None, 1e-6), x, p
+            )
+            want = ref_vjp(g) + (None,)
+
+        patches = self._patched()
+        saved = [(mod, name, getattr(mod, name)) for mod, name, _ in patches]
+        for mod, name, repl in patches:
+            setattr(mod, name, repl)
+        try:
+            got_out, fused_vjp = jax.vjp(
+                lambda xx, pp, pol_: fused_transformer_block_trainable(
+                    xx, pp, 2, pol_
+                ),
+                x, p, pol,
+            )
+            got = fused_vjp(g)
+        finally:
+            for mod, name, orig in saved:
+                setattr(mod, name, orig)
+
+        np.testing.assert_allclose(
+            np.asarray(got_out), np.asarray(want_out), atol=3e-3, rtol=2e-3
+        )
+        # dx
+        np.testing.assert_allclose(
+            np.asarray(got[0]), np.asarray(want[0]), atol=5e-3, rtol=5e-3
+        )
+        # the 12 parameter cotangents
+        for key in p:
+            np.testing.assert_allclose(
+                np.asarray(got[1][key]), np.asarray(want[1][key]),
+                atol=5e-3, rtol=5e-3, err_msg=f"param cotangent {key}",
+            )
+        # dPolicy
+        if use_policy:
+            np.testing.assert_allclose(
+                np.asarray(got[2]), np.asarray(want[2]),
+                atol=5e-3, rtol=5e-3, err_msg="dpolicy",
+            )
+        else:
+            assert got[2] is None
