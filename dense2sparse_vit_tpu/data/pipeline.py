@@ -81,15 +81,24 @@ def eval_transform(cfg: DataConfig, normalize: bool = True) -> Callable:
     """
 
     def tf(img: Image.Image) -> np.ndarray:
+        # torchvision F.resize semantics EXACTLY (short side = size, long
+        # side = int(size * long / short) — TRUNCATION, not round; no-op
+        # when the short side already equals size). A one-pixel size
+        # difference shifts the center crop and can move top-1 by more
+        # than the 0.2% parity budget.
         w, h = img.size
-        scale = cfg.eval_resize / min(w, h)
-        img = img.resize(
-            (max(1, round(w * scale)), max(1, round(h * scale))),
-            Image.BICUBIC,
-        )
+        size = cfg.eval_resize
+        if not ((w <= h and w == size) or (h <= w and h == size)):
+            if w < h:
+                ow, oh = size, int(size * h / w)
+            else:
+                oh, ow = size, int(size * w / h)
+            img = img.resize((ow, oh), Image.BICUBIC)
+        # torchvision center_crop: offsets via int(round((full-crop)/2))
         w, h = img.size
         c = cfg.eval_crop
-        left, top = (w - c) // 2, (h - c) // 2
+        left = int(round((w - c) / 2.0))
+        top = int(round((h - c) / 2.0))
         img = img.crop((left, top, left + c, top + c))
         arr = np.asarray(img)
         return _normalize(arr, cfg) if normalize else arr

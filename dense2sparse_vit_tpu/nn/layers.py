@@ -211,8 +211,9 @@ class Block(nn.Module):
             # the WHOLE block as one Pallas kernel (ops/pallas/block.py):
             # LN1 folded into qkv, attention core, proj, residual, then the
             # MLP half on the VMEM-resident intermediate — per block, HBM
-            # sees one read of x and one write of the output. Custom VJP
-            # chains the two fused half-block backward kernels.
+            # sees one read of x and one write of the output in EACH
+            # direction (the custom VJP runs the single-kernel whole-block
+            # backward; x_mid never round-trips HBM).
             # Dropout/droppath are inactive on every path that reaches
             # here, so semantics match the flax path exactly.
             from dense2sparse_vit_tpu.ops.pallas.block import (

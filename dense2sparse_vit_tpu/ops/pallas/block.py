@@ -29,6 +29,12 @@ from jax.experimental.pallas import tpu as pltpu
 from dense2sparse_vit_tpu.ops.pallas.predictor import _gelu_exact
 
 
+def _gelu_grad(y32):
+    from dense2sparse_vit_tpu.ops.pallas.mlp import _gelu_grad as gg
+
+    return gg(y32)
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
@@ -310,58 +316,450 @@ def _ftb_fwd(x, params, num_heads, policy, scale, ln_eps):
 
 
 def _ftb_bwd(num_heads, scale, ln_eps, res, g):
-    from dense2sparse_vit_tpu.ops.pallas.attention import (
-        fused_attention_block,
-        fused_attention_block_backward,
-        fused_attention_block_backward_policy,
-    )
-    from dense2sparse_vit_tpu.ops.pallas.mlp import (
-        fused_mlp_residual_backward,
-    )
-
     x, p, policy = res
-    x_mid = fused_attention_block(
-        x, p["ln1_scale"], p["ln1_bias"], p["wqkv"], p["bqkv"],
-        p["wproj"], p["bproj"], num_heads, policy,
-        scale=scale, ln_eps=ln_eps, exact=True,
+    dx, draw, dpol = fused_transformer_block_backward(
+        x, g, p, num_heads, policy, scale=scale, ln_eps=ln_eps,
     )
-    dxmid, dlns2, dlnb2, dw1, db1, dw2, db2 = fused_mlp_residual_backward(
-        x_mid, g, p["ln2_scale"], p["ln2_bias"], p["w1"], p["b1"], p["w2"],
-        eps=ln_eps,
-    )
-    if policy is None:
-        dx, dlns1, dlnb1, dwqkv, dbqkv, dwproj, dbproj = (
-            fused_attention_block_backward(
-                x, dxmid, p["ln1_scale"], p["ln1_bias"], p["wqkv"],
-                p["bqkv"], p["wproj"], num_heads,
-                scale=scale, ln_eps=ln_eps,
-            )
-        )
-        dpol = None
-    else:
-        (dx, dpol, dlns1, dlnb1, dwqkv, dbqkv, dwproj, dbproj) = (
-            fused_attention_block_backward_policy(
-                x, dxmid, policy, p["ln1_scale"], p["ln1_bias"],
-                p["wqkv"], p["bqkv"], p["wproj"], num_heads,
-                scale=scale, ln_eps=ln_eps,
-            )
-        )
+    dparams = {key: draw[key].astype(p[key].dtype) for key in p}
+    if dpol is not None:
         dpol = dpol.astype(policy.dtype)
-    dparams = {
-        "ln1_scale": dlns1.astype(p["ln1_scale"].dtype),
-        "ln1_bias": dlnb1.astype(p["ln1_bias"].dtype),
-        "wqkv": dwqkv.astype(p["wqkv"].dtype),
-        "bqkv": dbqkv.astype(p["bqkv"].dtype),
-        "wproj": dwproj.astype(p["wproj"].dtype),
-        "bproj": dbproj.astype(p["bproj"].dtype),
-        "ln2_scale": dlns2.astype(p["ln2_scale"].dtype),
-        "ln2_bias": dlnb2.astype(p["ln2_bias"].dtype),
-        "w1": dw1.astype(p["w1"].dtype),
-        "b1": db1.astype(p["b1"].dtype),
-        "w2": dw2.astype(p["w2"].dtype),
-        "b2": db2.astype(p["b2"].dtype),
-    }
     return dx, dparams, dpol
 
 
 fused_transformer_block_trainable.defvjp(_ftb_fwd, _ftb_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Whole-block single-kernel BACKWARD: both halves' backward in one VMEM pass
+# ---------------------------------------------------------------------------
+
+
+def _block_bwd_kernel(x_ref, pol_ref, g_ref, lns1_ref, lnb1_ref, wqkv_ref,
+                      bqkv_ref, wproj_ref, bproj_ref, lns2_ref, lnb2_ref,
+                      w1_ref, b1_ref, w2_ref,
+                      dx_ref, dpol_ref, dlns1_ref, dlnb1_ref, dwqkv_ref,
+                      dbqkv_ref, dwproj_ref, dbproj_ref, dlns2_ref,
+                      dlnb2_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, *,
+                      scale, eps, ln_eps, n_valid, num_heads, head_dim,
+                      use_policy):
+    """Recompute-in-VMEM backward of the WHOLE block:
+        x_mid = x + proj(attention(qkv(LN1(x))))
+        out   = x_mid + fc2(gelu(fc1(LN2(x_mid))))
+    x_mid (and every other intermediate) never touches HBM: the attention
+    forward is recomputed once (per-head scores s kept in VMEM), the MLP
+    half's backward produces dxmid, and the attention backward reuses the
+    stored scores. Parameter gradients accumulate across the sequential
+    grid (program 0 initializes). Replaces the three-kernel chain
+    (attention-half fwd recompute -> MLP-half bwd -> attention-half bwd)
+    that round-tripped x_mid and dxmid through HBM.
+
+    Plain mode uses exact row-max softmax (shift invariance makes the
+    standard softmax VJP exact); policy mode differentiates
+    softmax_with_policy (dynamic_vit.py:195-214) including the max-path
+    tie-split and emits dPolicy.
+    """
+    nb, np_, c = x_ref.shape
+    rows = nb * np_
+    hd = num_heads * head_dim
+    n = np_
+    dtype = x_ref.dtype
+    ones_c = jnp.ones((c, 8), jnp.float32)
+    ones_n = jnp.ones((nb, n, 8), jnp.float32)
+
+    def row_stats(h32):
+        mu = jax.lax.dot_general(
+            h32, ones_c, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[:, :1] / c
+        d = h32 - mu
+        var = jax.lax.dot_general(
+            d * d, ones_c, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[:, :1] / c
+        rr = jax.lax.rsqrt(var + ln_eps)
+        return d * rr, rr
+
+    tok = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % np_
+    valid = (tok < n_valid).astype(jnp.float32)
+    col3 = jax.lax.broadcasted_iota(jnp.int32, (nb, n, n), 2)
+    pad_mask = col3 < n_valid
+
+    # ---- forward recompute: LN1 -> qkv (padded rows zeroed) ----
+    x2 = x_ref[:].reshape(rows, c)
+    x32 = x2.astype(jnp.float32)
+    z1, rr1 = row_stats(x32)
+    ln1_s = lns1_ref[:].astype(jnp.float32)
+    ln1_out = (z1 * ln1_s + lnb1_ref[:].astype(jnp.float32)).astype(dtype)
+    wqkv = wqkv_ref[:]
+    qkv = ((jax.lax.dot_general(
+        ln1_out, wqkv, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[:].astype(jnp.float32)) * valid).astype(dtype).reshape(
+        nb, n, 3 * hd
+    )
+
+    if use_policy:
+        row3 = jax.lax.broadcasted_iota(jnp.int32, (nb, n, n), 1)
+        eye = (row3 == col3).astype(jnp.float32)
+        off_diag = 1.0 - eye
+        pad_f = pad_mask.astype(jnp.float32)
+        pol = pol_ref[:]  # (nb, 1, N)
+        attn_policy = pol + (1.0 - pol) * eye
+        cc = eps / n_valid
+
+    # ---- attention forward (head pass 1): keep s/m/den in VMEM ----
+    s_heads, m_heads, den_heads, att_heads = [], [], [], []
+    for h in range(num_heads):
+        o = h * head_dim
+        q = qkv[:, :, o:o + head_dim]
+        k = qkv[:, :, hd + o:hd + o + head_dim]
+        v = qkv[:, :, 2 * hd + o:2 * hd + o + head_dim]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = jnp.where(pad_mask, s, -jnp.inf)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        xe = jnp.exp(s - m)
+        e = xe * attn_policy if use_policy else xe
+        den = jax.lax.dot_general(
+            e, ones_n, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[:, :, :1]
+        if use_policy:
+            den = den + eps
+            p = (e + cc * pad_f) / den
+        else:
+            p = e / (den + 1e-30)
+        att_heads.append(jax.lax.dot_general(
+            p.astype(dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype))
+        s_heads.append(s)
+        m_heads.append(m)
+        den_heads.append(den)
+
+    att_out = jnp.concatenate(att_heads, axis=2).reshape(rows, hd)
+    wproj = wproj_ref[:]
+    proj = jax.lax.dot_general(
+        att_out, wproj, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bproj_ref[:].astype(jnp.float32)
+    xmid32 = x32 + proj
+    xmid = xmid32.astype(dtype)
+
+    # ---- MLP half: forward recompute + backward ----
+    z2, rr2 = row_stats(xmid32)
+    ln2_s = lns2_ref[:].astype(jnp.float32)
+    ln2_out = (z2 * ln2_s + lnb2_ref[:].astype(jnp.float32)).astype(dtype)
+    w1 = w1_ref[:]
+    y = jax.lax.dot_general(
+        ln2_out, w1, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[:].astype(jnp.float32)
+    act = _gelu_exact(y.astype(dtype))
+
+    g = g_ref[:].reshape(rows, c).astype(jnp.float32)
+    gm2 = g * valid
+    w2 = w2_ref[:]
+    da2 = jax.lax.dot_general(
+        gm2.astype(dtype), w2, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dy = da2 * _gelu_grad(y)
+    dln2_out = jax.lax.dot_general(
+        dy.astype(dtype), w1, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dz2 = dln2_out * ln2_s
+    mdz2 = jax.lax.dot_general(
+        dz2, ones_c, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[:, :1] / c
+    mdzz2 = jax.lax.dot_general(
+        dz2 * z2, ones_c, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[:, :1] / c
+    dxmid = rr2 * (dz2 - mdz2 - z2 * mdzz2) * valid + g
+
+    # ---- attention backward (head pass 2) ----
+    gm1 = dxmid * valid
+    datt = jax.lax.dot_general(
+        gm1.astype(dtype), wproj, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype).reshape(nb, n, hd)
+
+    dq_heads, dk_heads, dv_heads = [], [], []
+    if use_policy:
+        ones_rows3 = jnp.ones((nb, 8, n), jnp.float32)
+        dpol_total = jnp.zeros((nb, 8, n), jnp.float32)
+    for h in range(num_heads):
+        o = h * head_dim
+        q = qkv[:, :, o:o + head_dim]
+        k = qkv[:, :, hd + o:hd + o + head_dim]
+        v = qkv[:, :, 2 * hd + o:2 * hd + o + head_dim]
+        gh = datt[:, :, o:o + head_dim]
+        s = s_heads[h]
+        m = m_heads[h]
+        den = den_heads[h]
+        xe = jnp.exp(s - m)
+        if use_policy:
+            e = xe * attn_policy
+            p = (e + cc * pad_f) / den
+        else:
+            e = xe
+            p = e / (den + 1e-30)
+        dv_heads.append(jax.lax.dot_general(
+            p.astype(dtype), gh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ))
+        dp = jax.lax.dot_general(
+            gh, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        r = jax.lax.dot_general(
+            dp * p, ones_n, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[:, :, :1]
+        if use_policy:
+            de = (dp - r) / den
+            ds_dir = de * e
+            gmx = -jax.lax.dot_general(
+                ds_dir, ones_n, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )[:, :, :1]
+            tie = jnp.where((s == m) & pad_mask, 1.0, 0.0)
+            cnt = jax.lax.dot_general(
+                tie, ones_n, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )[:, :, :1]
+            ds = ((ds_dir + gmx * tie / cnt) * scale).astype(dtype)
+            dpol_total = dpol_total + jax.lax.dot_general(
+                ones_rows3, de * xe * off_diag, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            ds = (p * (dp - r) * scale).astype(dtype)
+        dq_heads.append(jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ))
+        dk_heads.append(jax.lax.dot_general(
+            ds, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ))
+    if use_policy:
+        dpol_ref[:] = dpol_total[:, :1].astype(dpol_ref.dtype)
+    else:
+        dpol_ref[:] = jnp.zeros_like(dpol_ref)
+
+    dqkv = jnp.concatenate(
+        dq_heads + dk_heads + dv_heads, axis=2
+    ).reshape(rows, 3 * hd).astype(dtype)
+
+    dln1_out = jax.lax.dot_general(
+        dqkv, wqkv, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dz1 = dln1_out * ln1_s
+    mdz1 = jax.lax.dot_general(
+        dz1, ones_c, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[:, :1] / c
+    mdzz1 = jax.lax.dot_general(
+        dz1 * z1, ones_c, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[:, :1] / c
+    dx = rr1 * (dz1 - mdz1 - z1 * mdzz1) * valid + dxmid
+    dx_ref[:] = dx.reshape(nb, np_, c).astype(dx_ref.dtype)
+
+    # ---- parameter gradients, accumulated across the sequential grid ----
+    ones_rows = jnp.ones((8, rows), jnp.float32)
+
+    def colsum(a32):
+        return jax.lax.dot_general(
+            ones_rows, a32, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[:1]
+
+    dym = dy * valid
+    grads = {
+        "dwproj": jax.lax.dot_general(
+            att_out, gm1.astype(dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ),
+        "dbproj": colsum(gm1),
+        "dwqkv": jax.lax.dot_general(
+            ln1_out, dqkv, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ),
+        "dbqkv": colsum(dqkv.astype(jnp.float32)),
+        "dlns1": colsum(dln1_out * z1),
+        "dlnb1": colsum(dln1_out),
+        "dw2": jax.lax.dot_general(
+            act, gm2.astype(dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ),
+        "db2": colsum(gm2),
+        "dw1": jax.lax.dot_general(
+            ln2_out, dym.astype(dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ),
+        "db1": colsum(dym),
+        "dlns2": colsum(dln2_out * z2 * valid),
+        "dlnb2": colsum(dln2_out * valid),
+    }
+    refs = {
+        "dlns1": dlns1_ref, "dlnb1": dlnb1_ref, "dwqkv": dwqkv_ref,
+        "dbqkv": dbqkv_ref, "dwproj": dwproj_ref, "dbproj": dbproj_ref,
+        "dlns2": dlns2_ref, "dlnb2": dlnb2_ref, "dw1": dw1_ref,
+        "db1": db1_ref, "dw2": dw2_ref, "db2": db2_ref,
+    }
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for key, ref in refs.items():
+            ref[:] = grads[key].astype(ref.dtype)
+
+    @pl.when(pl.program_id(0) != 0)
+    def _acc():
+        for key, ref in refs.items():
+            ref[:] += grads[key].astype(ref.dtype)
+
+
+def fused_transformer_block_backward(
+    x: jnp.ndarray,
+    g: jnp.ndarray,
+    params: dict,
+    num_heads: int,
+    policy: jnp.ndarray | None = None,
+    *,
+    scale: float | None = None,
+    eps: float = 1e-6,
+    ln_eps: float = 1e-6,
+    block_batch: int = 4,
+    interpret: bool = False,
+):
+    """All cotangents of the whole transformer block in ONE kernel.
+
+    Returns (dx, dparams, dpolicy) where dparams matches the
+    fused_transformer_block params dict (fp32 grads) and dpolicy is None
+    in plain mode. block_batch defaults to 4 (not 8): the single-kernel
+    backward keeps per-head scores AND the MLP intermediates live in VMEM
+    simultaneously.
+    """
+    B, N, C = x.shape
+    head_dim = C // num_heads
+    if scale is None:
+        scale = head_dim ** -0.5
+    dtype = x.dtype
+    Np = _round_up(N, 16)
+    pad = Np - N
+    use_policy = policy is not None
+    pol = (policy.astype(jnp.float32) if use_policy
+           else jnp.ones((B, N), jnp.float32))
+    if pad:
+        x = jnp.pad(x, [(0, 0), (0, pad), (0, 0)])
+        g = jnp.pad(g, [(0, 0), (0, pad), (0, 0)])
+        pol = jnp.pad(pol, [(0, 0), (0, pad)])
+    nb = block_batch
+    while B % nb:
+        nb //= 2
+    nb = max(nb, 1)
+    hidden = params["w1"].shape[1]
+
+    operands = [
+        x, pol[:, None, :], g.astype(dtype),
+        params["ln1_scale"].astype(jnp.float32)[None, :],
+        params["ln1_bias"].astype(jnp.float32)[None, :],
+        params["wqkv"].astype(dtype),
+        params["bqkv"].astype(jnp.float32)[None, :],
+        params["wproj"].astype(dtype),
+        params["bproj"].astype(jnp.float32)[None, :],
+        params["ln2_scale"].astype(jnp.float32)[None, :],
+        params["ln2_bias"].astype(jnp.float32)[None, :],
+        params["w1"].astype(dtype),
+        params["b1"].astype(jnp.float32)[None, :],
+        params["w2"].astype(dtype),
+    ]
+    in_specs = [
+        pl.BlockSpec((nb, Np, C), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nb, 1, Np), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nb, Np, C), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for op in operands[3:]:
+        in_specs.append(
+            pl.BlockSpec(op.shape, lambda b, nd=op.ndim: (0,) * nd,
+                         memory_space=pltpu.VMEM)
+        )
+
+    def cspec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda b, nd=nd: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    out_specs = (
+        pl.BlockSpec((nb, Np, C), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nb, 1, Np), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        cspec((1, C)), cspec((1, C)),
+        cspec((C, 3 * C)), cspec((1, 3 * C)),
+        cspec((C, C)), cspec((1, C)),
+        cspec((1, C)), cspec((1, C)),
+        cspec((C, hidden)), cspec((1, hidden)),
+        cspec((hidden, C)), cspec((1, C)),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((B, Np, C), dtype),
+        jax.ShapeDtypeStruct((B, 1, Np), jnp.float32),
+        jax.ShapeDtypeStruct((1, C), jnp.float32),
+        jax.ShapeDtypeStruct((1, C), jnp.float32),
+        jax.ShapeDtypeStruct((C, 3 * C), jnp.float32),
+        jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),
+        jax.ShapeDtypeStruct((C, C), jnp.float32),
+        jax.ShapeDtypeStruct((1, C), jnp.float32),
+        jax.ShapeDtypeStruct((1, C), jnp.float32),
+        jax.ShapeDtypeStruct((1, C), jnp.float32),
+        jax.ShapeDtypeStruct((C, hidden), jnp.float32),
+        jax.ShapeDtypeStruct((1, hidden), jnp.float32),
+        jax.ShapeDtypeStruct((hidden, C), jnp.float32),
+        jax.ShapeDtypeStruct((1, C), jnp.float32),
+    )
+    (dx, dpol, dlns1, dlnb1, dwqkv, dbqkv, dwproj, dbproj, dlns2, dlnb2,
+     dw1, db1, dw2, db2) = pl.pallas_call(
+        functools.partial(
+            _block_bwd_kernel,
+            scale=scale, eps=eps, ln_eps=ln_eps, n_valid=N,
+            num_heads=num_heads, head_dim=head_dim, use_policy=use_policy,
+        ),
+        grid=(B // nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * 2 * B * num_heads * Np * Np * head_dim
+            + 2 * B * Np * C * (6 * C + 6 * hidden),
+            bytes_accessed=4 * B * Np * C * jnp.dtype(dtype).itemsize,
+            transcendentals=2 * B * num_heads * Np * Np
+            + 2 * B * Np * hidden,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*operands)
+    if pad:
+        dx = dx[:, :N]
+    dparams = {
+        "ln1_scale": dlns1[0], "ln1_bias": dlnb1[0],
+        "wqkv": dwqkv, "bqkv": dbqkv[0],
+        "wproj": dwproj, "bproj": dbproj[0],
+        "ln2_scale": dlns2[0], "ln2_bias": dlnb2[0],
+        "w1": dw1, "b1": db1[0], "w2": dw2, "b2": db2[0],
+    }
+    dpolicy = dpol[:, 0, :N] if use_policy else None
+    return dx, dparams, dpolicy

@@ -104,6 +104,9 @@ class TestBlockTrainableVJP:
         return [
             (BLK, "fused_transformer_block",
              functools.partial(fused_transformer_block, interpret=True)),
+            (BLK, "fused_transformer_block_backward",
+             functools.partial(
+                 BLK.fused_transformer_block_backward, interpret=True)),
             (A, "fused_attention_block",
              functools.partial(A.fused_attention_block, interpret=True)),
             (A, "fused_attention_block_backward",
