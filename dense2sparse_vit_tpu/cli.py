@@ -53,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use-token-dist-loss", action="store_true", default=False)
     p.add_argument("--dist-weight", default=0.5, type=float)
     p.add_argument("--teacher-cls-loss", action="store_true", default=False)
+    # TPU-native extension: precompute frozen-teacher outputs once, skip its
+    # forward every step (train/teacher_cache.py); needs mixup disabled
+    p.add_argument("--teacher-cache", action="store_true", default=False)
     p.add_argument("--cls-weight", default=1.0, type=float)
     p.add_argument("--topk-selection", action="store_true", default=False)
     p.add_argument("--mean-heads", action="store_true", default=False)
@@ -151,6 +154,7 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
         dist_weight=args.dist_weight,
         cls_weight=args.cls_weight,
         teacher_cls_loss=args.teacher_cls_loss,
+        teacher_cache=args.teacher_cache,
     )
     data = DataConfig(
         imgnet_val_dir=args.imgnet_val_dir,

@@ -184,6 +184,11 @@ class TrainConfig:
     # in-epoch progress cadence: print/log running-mean train metrics every
     # N steps (reference prints every 10/400 steps, train.py:59-62)
     log_every_steps: int = 400
+    # frozen-teacher output cache: precompute teacher logits/tokens/targets
+    # once (the teacher never updates, reference train.py:40) and skip its
+    # forward in every train step. Requires mixup off and deterministic
+    # train views — run_experiment enforces both (train/teacher_cache.py)
+    teacher_cache: bool = False
     seed: int = 42
 
     def replace(self, **kw) -> "TrainConfig":

@@ -179,6 +179,7 @@ def make_loader(
     num_workers: int = 0,
     normalize_cfg: Optional[DataConfig] = None,
     cache_decoded: bool = False,
+    with_indices: bool = False,
 ) -> Callable[[], Iterator[Tuple[np.ndarray, np.ndarray]]]:
     """Batch iterator factory with parallel decode and prefetch.
 
@@ -201,6 +202,9 @@ def make_loader(
         accordingly). Requires a uint8-producing transform. Augmenting
         train transforms must NOT be cached (they are sampled per epoch);
         only deterministic transforms qualify.
+      with_indices: yield (batch, labels, dataset_indices) triples — the
+        key the frozen-teacher cache (train/teacher_cache.py) looks rows
+        up by.
     """
     idx = np.asarray(indices if indices is not None else np.arange(len(dataset)))
 
@@ -228,10 +232,13 @@ def make_loader(
         # trips on already-closed pipe fds otherwise
         atexit.register(pool.terminate)
 
-    def finalize(batch, labels):
+    def finalize(batch, labels, sel=None):
         if normalize_cfg is not None and batch.dtype == np.uint8:
             batch = _normalize(batch, normalize_cfg)
-        return batch.astype(np.float32, copy=False), labels
+        batch = batch.astype(np.float32, copy=False)
+        if with_indices:
+            return batch, labels, sel
+        return batch, labels
 
     def load_cached(sel):
         store, filled, lab = cache["store"], cache["filled"], cache["labels"]
@@ -260,16 +267,18 @@ def make_loader(
         def feeder():
             if cache_decoded:
                 for sel in sels:
-                    q.put(finalize(*load_cached(sel)))
+                    q.put(finalize(*load_cached(sel), sel=sel))
             elif pool is not None:
                 # imap keeps batch order; the pool decodes several batches
                 # ahead, bounded by the queue
-                for batch, labels in pool.imap(_load_batch, sels):
-                    q.put(finalize(batch, labels))
+                for sel, (batch, labels) in zip(
+                    sels, pool.imap(_load_batch, sels)
+                ):
+                    q.put(finalize(batch, labels, sel=sel))
             else:
                 for sel in sels:
                     _pool_init(dataset)
-                    q.put(finalize(*_load_batch(sel)))
+                    q.put(finalize(*_load_batch(sel), sel=sel))
             q.put(None)
 
         t = threading.Thread(target=feeder, daemon=True)

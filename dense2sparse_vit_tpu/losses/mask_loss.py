@@ -49,6 +49,7 @@ def mask_loss(
     loss_type: str = "kl_div",
     mean_heads: bool = False,
     keep_masks: Sequence[jnp.ndarray] = (),
+    teacher_target: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, dict]:
     """Mask-prediction loss over all pruning stages.
 
@@ -66,11 +67,18 @@ def mask_loss(
         gather (the reference's threshold-mode loss chaining is dead code —
         it appends flattened boolean masks where losses.py:83-90 expects
         indices; this implements the intent).
+      teacher_target: precomputed (B, N) aggregate_teacher_cls_attn output
+        (frozen-teacher cache path); when given, teacher_cls_attns is unused
+        and may be None.
 
     Returns:
       (loss, metrics) where metrics has per-stage mask accuracies.
     """
-    renorm = aggregate_teacher_cls_attn(teacher_cls_attns, mean_heads)
+    if teacher_target is not None:
+        renorm = teacher_target.astype(jnp.float32)
+        renorm = renorm / jnp.sum(renorm, axis=-1, keepdims=True)
+    else:
+        renorm = aggregate_teacher_cls_attn(teacher_cls_attns, mean_heads)
     loss = jnp.float32(0.0)
     metrics = {}
     for i, logits in enumerate(pred_logits):

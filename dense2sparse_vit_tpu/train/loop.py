@@ -78,11 +78,39 @@ def run_experiment(
     data_sh = NamedSharding(mesh, P("data"))
     img_sh = NamedSharding(mesh, P("data", None, None, None))
 
+    mixup = Mixup(
+        mixup_alpha=cfg.data.mixup,
+        cutmix_alpha=cfg.data.cutmix,
+        cutmix_minmax=cfg.data.cutmix_minmax,
+        prob=cfg.data.mixup_prob,
+        switch_prob=cfg.data.mixup_switch_prob,
+        mode=cfg.data.mixup_mode,
+        label_smoothing=cfg.data.smoothing,
+        num_classes=cfg.data.num_classes,
+    )
+    use_tcache = cfg.train.teacher_cache
+    if use_tcache and mixup.active:
+        raise ValueError(
+            "--teacher-cache requires mixup/cutmix disabled: the teacher "
+            "consumes the mixed images (reference train.py:30-40), which "
+            "change every step and cannot be cached"
+        )
+
     # data: 80/20 split of the ImageNet-val directory
     # (mask_predictor.py:239-246)
-    ds_train = ImageFolder(
-        cfg.data.imgnet_val_dir, train_transform(cfg.data, seed=cfg.train.seed)
-    )
+    if use_tcache:
+        # frozen-teacher cache requires the SAME teacher input per sample
+        # every epoch -> train on the deterministic eval view; uint8 output
+        # + batch-normalize also unlocks the decoded-image cache, so epochs
+        # after the first skip JPEG decode entirely
+        ds_train = ImageFolder(
+            cfg.data.imgnet_val_dir, eval_transform(cfg.data, normalize=False)
+        )
+    else:
+        ds_train = ImageFolder(
+            cfg.data.imgnet_val_dir,
+            train_transform(cfg.data, seed=cfg.train.seed),
+        )
     ds_val = ImageFolder(cfg.data.imgnet_val_dir, eval_transform(cfg.data))
     tr_idx, va_idx = split_train_val_indices(
         len(ds_train), 0.8, seed=cfg.train.seed
@@ -101,6 +129,8 @@ def run_experiment(
     train_loader = make_loader(
         ds_train, local_bs, shuffle=True, seed=cfg.train.seed,
         indices=tr_idx_local, num_workers=cfg.data.num_workers,
+        with_indices=use_tcache, cache_decoded=use_tcache,
+        normalize_cfg=cfg.data if use_tcache else None,
     )
     # val batch: largest multiple of the mesh data-axis size that fits —
     # static shapes require full batches, but tiny val sets must still eval
@@ -120,16 +150,6 @@ def run_experiment(
     # models
     student = DiffPruningStudent(cfg=cfg.model, pruning=cfg.pruning)
     teacher = ViTTeacher(cfg=cfg.model)
-    mixup = Mixup(
-        mixup_alpha=cfg.data.mixup,
-        cutmix_alpha=cfg.data.cutmix,
-        cutmix_minmax=cfg.data.cutmix_minmax,
-        prob=cfg.data.mixup_prob,
-        switch_prob=cfg.data.mixup_switch_prob,
-        mode=cfg.data.mixup_mode,
-        label_smoothing=cfg.data.smoothing,
-        num_classes=cfg.data.num_classes,
-    )
 
     sample = jnp.zeros((1, cfg.model.img_size, cfg.model.img_size, 3))
     tx = make_optimizer(cfg.train, steps_per_epoch)
@@ -140,6 +160,35 @@ def run_experiment(
         teacher_params = teacher.init(jax.random.fold_in(rng, 1), sample)[
             "params"
         ]
+
+    tcache = None
+    if use_tcache:
+        # one deterministic pre-pass fills the cache; every later step skips
+        # the teacher forward (~4.6 GFLOPs/img). Host-local per process —
+        # each host caches only its own loader shard.
+        from dense2sparse_vit_tpu.train.teacher_cache import (
+            TeacherCache,
+            make_teacher_outputs_fn,
+        )
+
+        build_loader = make_loader(
+            ds_train, local_bs, indices=tr_idx_local, drop_last=False,
+            num_workers=cfg.data.num_workers, with_indices=True,
+            normalize_cfg=cfg.data,
+        )
+        tcache = TeacherCache(tr_idx_local)
+        t_build0 = time.time()
+        tcache.build(
+            make_teacher_outputs_fn(teacher, cfg),
+            teacher_params, build_loader, local_bs,
+        )
+        if is_primary():
+            print(
+                f"teacher cache: {len(tr_idx_local)} samples, "
+                f"{tcache.nbytes / 2**20:.0f} MiB, "
+                f"{time.time() - t_build0:.1f}s",
+                flush=True,
+            )
 
     ckpt = CheckpointManager(f"{workdir}/ckpt")
     start_epoch = 0
@@ -185,7 +234,10 @@ def run_experiment(
         teacher_params = jax.device_put(teacher_params, repl)
 
     train_step = jax.jit(
-        make_train_step(student, teacher, tx, cfg, mixup_active=mixup.active),
+        make_train_step(
+            student, teacher, tx, cfg, mixup_active=mixup.active,
+            cached_teacher=use_tcache,
+        ),
         donate_argnums=(0,),
     )
     eval_step = jax.jit(make_eval_step(student, teacher, cfg))
@@ -204,16 +256,25 @@ def run_experiment(
         # train.py:76-83 accumulate into a shared metrics dict); sums stay
         # on device, fetched at the logging cadence
         metric_sum, n_steps = None, 0
-        for step_i, (xb, yb) in enumerate(train_loader()):
+        for step_i, item in enumerate(train_loader()):
             if step_i >= steps_per_epoch:
                 break
             key = jax.random.fold_in(rng, epoch * 100003 + step_i)
+            if use_tcache:
+                xb, yb, sel = item
+                teacher_in = {
+                    k: put_global_batch(data_sh, v)
+                    for k, v in tcache.lookup(sel).items()
+                }
+            else:
+                xb, yb = item
+                teacher_in = teacher_params
             xb = put_global_batch(img_sh, xb)
             yb = put_global_batch(data_sh, yb)
             if mixup.active:
                 xb, yb = mixup(jax.random.fold_in(key, 1), xb, yb)
             state, metrics = train_step(
-                state, teacher_params, xb, yb, key, jnp.float32(epoch)
+                state, teacher_in, xb, yb, key, jnp.float32(epoch)
             )
             metric_sum = (
                 metrics if metric_sum is None

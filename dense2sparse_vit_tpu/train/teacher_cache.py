@@ -1,0 +1,120 @@
+"""Frozen-teacher output cache.
+
+The teacher is frozen for the entire run (reference train.py:40 — its
+parameters are never updated), so for deterministic input views its outputs
+per sample are constants. This module precomputes them once in a host-side
+cache and lets every subsequent training step skip the teacher forward
+entirely (~4.6 GFLOPs/img, ~24% of measured step time at B=128).
+
+Validity requires the teacher input for a sample to be the SAME every epoch:
+
+  * mixup must be off — the reference's teacher consumes the mixed images
+    (train.py:30-40), which change every step; `run_experiment` raises if
+    both are enabled.
+  * stochastic augmentation must be off — cached CLS attentions are
+    per-patch spatial supervision (MaskLoss) and would misalign with a
+    randomly cropped/flipped student view. Teacher-cache mode therefore
+    trains on the deterministic eval view (Resize/CenterCrop), which also
+    makes the decoded-uint8 loader cache applicable.
+
+Per-image cost (bf16): logits 2 KB + final tokens 147 KB + either the
+reduced (N,) mask-loss target (392 B) or, only under --cls-from-teacher,
+the full (L, H, N+1) CLS-attention stack (28 KB) — ~0.15-0.18 MB/img,
+7.2 GB for the 40k train split.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dense2sparse_vit_tpu.losses.mask_loss import aggregate_teacher_cls_attn
+
+_BF16 = jnp.bfloat16.dtype  # numpy-compatible ml_dtypes.bfloat16
+
+
+def make_teacher_outputs_fn(teacher, cfg):
+    """Jittable (teacher_params, images) -> dict of cacheable outputs.
+
+    Keys: 'logits' (B, num_classes), 'tokens' (B, N, D), and either
+    'target' (B, N) — the reduced mask-loss supervision — or 'attns'
+    (B, L, H, N+1) when the student itself consumes the full stack
+    (cfg.pruning.cls_from_teacher).
+    """
+    need_stack = cfg.pruning.cls_from_teacher
+
+    def fn(teacher_params, images):
+        t_logits, t_tokens, t_attns = teacher.apply(
+            {"params": teacher_params}, images, deterministic=True
+        )
+        out = {
+            "logits": t_logits.astype(jnp.bfloat16),
+            "tokens": t_tokens.astype(jnp.bfloat16),
+        }
+        if need_stack:
+            out["attns"] = t_attns.astype(jnp.bfloat16)
+        else:
+            out["target"] = aggregate_teacher_cls_attn(
+                t_attns, cfg.pruning.mean_heads
+            ).astype(jnp.bfloat16)
+        return out
+
+    return fn
+
+
+class TeacherCache:
+    """Host-side store of teacher outputs for this process's train shard.
+
+    Rows are keyed by GLOBAL dataset index (multi-host: each process caches
+    only its own loader shard). Arrays are bf16 numpy (ml_dtypes), converted
+    on lookup by device_put — no fp32 copy is ever materialized host-side.
+    """
+
+    def __init__(self, indices):
+        self._pos = {int(i): r for r, i in enumerate(indices)}
+        self._store: dict[str, np.ndarray] = {}
+        self.filled = np.zeros(len(self._pos), bool)
+
+    def build(self, outputs_fn, teacher_params, loader, batch_size):
+        """One deterministic pre-pass over `loader` (must yield indices).
+
+        Runs host-locally on this process's first device — the teacher
+        forward is ~10k img/s/chip, so even a single device covers the 40k
+        split in seconds; no cross-host resharding logic is needed.
+        """
+        dev = jax.local_devices()[0]
+        tp = jax.device_put(teacher_params, dev)
+        run = jax.jit(outputs_fn)
+        for xb, _, sel in loader():
+            n = len(sel)
+            if n < batch_size:  # static shapes: pad, then drop the pad rows
+                xb = np.concatenate(
+                    [xb, np.repeat(xb[:1], batch_size - n, axis=0)]
+                )
+            out = jax.device_get(run(tp, jax.device_put(xb, dev)))
+            rows = [self._pos[int(i)] for i in sel]
+            for key, arr in out.items():
+                store = self._store.get(key)
+                if store is None:
+                    store = np.empty(
+                        (len(self._pos),) + arr.shape[1:], _BF16
+                    )
+                    self._store[key] = store
+                store[rows] = arr[:n]
+            self.filled[rows] = True
+        if not self.filled.all():
+            raise RuntimeError(
+                f"teacher cache pre-pass left "
+                f"{int((~self.filled).sum())} samples unfilled"
+            )
+
+    @property
+    def nbytes(self) -> int:
+        return sum(a.nbytes for a in self._store.values())
+
+    def lookup(self, sel) -> dict:
+        """Batch lookup by global dataset indices -> dict of host arrays."""
+        rows = [self._pos[int(i)] for i in sel]
+        return {k: v[rows] for k, v in self._store.items()}

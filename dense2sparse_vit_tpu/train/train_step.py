@@ -60,6 +60,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     cfg: ExperimentConfig,
     mixup_active: bool = False,
+    cached_teacher: bool = False,
 ) -> Callable:
     """Build the jittable train step.
 
@@ -68,14 +69,25 @@ def make_train_step(
 
     `epoch` is a traced scalar driving the warmup gate; lr schedules read the
     step counter inside the optimizer.
+
+    cached_teacher: the frozen-teacher forward is skipped; `teacher_params`
+    is replaced by the dict make_teacher_outputs_fn produces for this batch
+    (train/teacher_cache.py) — 'logits'/'tokens' plus 'target' or 'attns'.
     """
     pr = cfg.pruning
     tr = cfg.train
 
-    def loss_fn(params, batch_stats, teacher_params, images, labels, rng, epoch):
-        t_logits, t_tokens, t_attns = teacher.apply(
-            {"params": teacher_params}, images, deterministic=True
-        )
+    def loss_fn(params, batch_stats, teacher_in, images, labels, rng, epoch):
+        t_target = None
+        if cached_teacher:
+            t_logits = teacher_in["logits"].astype(jnp.float32)
+            t_tokens = teacher_in["tokens"]
+            t_attns = teacher_in.get("attns")
+            t_target = teacher_in.get("target")
+        else:
+            t_logits, t_tokens, t_attns = teacher.apply(
+                {"params": teacher_in}, images, deterministic=True
+            )
         t_logits = jax.lax.stop_gradient(t_logits)
         t_tokens = jax.lax.stop_gradient(t_tokens)
 
@@ -126,6 +138,7 @@ def make_train_step(
             loss_type=pr.mask_loss_type,
             mean_heads=pr.mean_heads,
             keep_masks=out.keep_masks,
+            teacher_target=t_target,
         )
         b_loss, b_metrics = backbone_loss(
             out.logits,

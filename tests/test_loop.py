@@ -80,3 +80,26 @@ class TestRunExperiment:
             cfg2, str(tmp_path), resume=True, max_steps_per_epoch=2
         )
         assert summary["epochs"] == 2
+
+    def test_teacher_cache_epoch(self, data_dir, tmp_path):
+        """--teacher-cache end-to-end: pre-pass fills the cache, the epoch
+        trains from it (no live teacher forward), metrics stay finite."""
+        cfg = ExperimentConfig(
+            model=ModelConfig(
+                img_size=32, patch_size=8, embed_dim=16, depth=2,
+                num_heads=2, num_classes=3,
+            ),
+            pruning=PruningConfig(pruning_locs=(1,), keep_ratios=(0.5,)),
+            train=TrainConfig(
+                batch_size=8, epochs=1, warmup_epochs=1, teacher_cache=True
+            ),
+            data=DataConfig(
+                imgnet_val_dir=data_dir, num_classes=3,
+                eval_resize=36, eval_crop=32, mixup=0.0, cutmix=0.0,
+            ),
+        )
+        summary = run_experiment(cfg, str(tmp_path), max_steps_per_epoch=3)
+        assert summary["epochs"] == 1
+        lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+        losses = [l["train/loss"] for l in lines if "train/loss" in l]
+        assert losses and np.isfinite(losses).all()
