@@ -156,3 +156,48 @@ class TestProfiling:
         f = flops_of(lambda x: x @ x, a)
         # 2 * 64^3 = 524288 FLOPs
         assert 2 * 64**3 * 0.5 <= f <= 2 * 64**3 * 2
+
+
+class TestParityReport:
+    def test_same_weights_zero_delta(self, tmp_path):
+        """parity_report with a checkpoint dumped from the reference student
+        must report identical top-1 on both sides (same weights, same
+        pixels) and tiny logit deltas."""
+        import torch
+
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+        from reference_loader import load_reference_module
+
+        from dense2sparse_vit_tpu.experiments.parity_report import (
+            parity_report,
+        )
+
+        rng = np.random.default_rng(0)
+        for c in range(2):
+            d = tmp_path / f"class_{c}"
+            d.mkdir()
+            for i in range(4):
+                Image.fromarray(
+                    rng.integers(0, 255, (64, 64, 3), np.uint8)
+                ).save(d / f"{i}.jpg")
+
+        ref = load_reference_module("dynamic_vit")
+        torch.manual_seed(0)
+        model = ref.VisionTransformerDiffPruning(
+            img_size=224, patch_size=16, embed_dim=192, depth=12,
+            num_heads=3, num_classes=1000, pruning_loc=[3, 6, 9],
+            token_ratio=[0.7, 0.49, 0.343], topk_selection=True,
+            predictor_loss_type="kl_div",
+        )
+        ckpt = tmp_path / "ref.pth"
+        torch.save(model.state_dict(), ckpt)
+
+        report = parity_report(
+            arch="deit_tiny", ref_ckpt=str(ckpt),
+            imgnet_val_dir=str(tmp_path), batch_size=4, max_batches=1,
+        )
+        assert report["images"] == 4
+        assert report["pruned_delta"] == 0.0
+        assert report["first_batch_max_logit_delta"] < 1e-3
