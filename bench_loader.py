@@ -82,6 +82,13 @@ def main():
         rows["cached_uint8_native_norm"] = round(
             rate(cached, skip_first=True), 1
         )
+        # raw-uint8 host path (normalize moved on-device inside the jitted
+        # step, data/pipeline.py::device_normalize): no host normalize at
+        # all and 4x fewer host->device bytes
+        cached_u8 = make_loader(ds_u8, B, cache_decoded=True, as_uint8=True)
+        rows["cached_uint8_to_device"] = round(
+            rate(cached_u8, skip_first=True), 1
+        )
 
         per_worker = rows["sequential"]
         rows["workers_for_target"] = int(np.ceil(TARGET / max(per_worker, 1)))

@@ -42,7 +42,21 @@ def _pruning_cfg(mode: str):
     return PruningConfig(**kw)
 
 
-def run(fused: bool, mode: str = "topk") -> float:
+def run(
+    fused: bool,
+    mode: str = "topk",
+    batch: int = B,
+    grad_accum: int = 1,
+    cached_teacher: bool = False,
+    want_flops: bool = False,
+):
+    """Time one train-step config; returns (sec/step, flops/step or None).
+
+    grad_accum>1 wraps the optimizer in optax.MultiSteps (train/optimizer.py)
+    — each timed step is one micro-step; effective batch = batch*grad_accum.
+    cached_teacher replaces the live teacher forward with precomputed
+    outputs (train/teacher_cache.py).
+    """
     from dense2sparse_vit_tpu.core.config import (
         ExperimentConfig,
         TrainConfig,
@@ -59,12 +73,15 @@ def run(fused: bool, mode: str = "topk") -> float:
     cfg = ExperimentConfig(
         model=mcfg,
         pruning=_pruning_cfg(mode),
-        train=TrainConfig(batch_size=B, epochs=25, warmup_epochs=5),
+        train=TrainConfig(
+            batch_size=batch, epochs=25, warmup_epochs=5,
+            grad_accum_steps=grad_accum,
+        ),
     )
     teacher = ViTTeacher(cfg=mcfg)
-    imgs = jax.random.normal(jax.random.PRNGKey(0), (B, 224, 224, 3),
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (batch, 224, 224, 3),
                              jnp.bfloat16)
-    labels = jax.random.randint(jax.random.PRNGKey(1), (B,), 0, 1000)
+    labels = jax.random.randint(jax.random.PRNGKey(1), (batch,), 0, 1000)
     tparams = teacher.init(jax.random.PRNGKey(3), imgs[:1])["params"]
     tx = make_optimizer(cfg.train, steps_per_epoch=100)
 
@@ -119,38 +136,84 @@ def run(fused: bool, mode: str = "topk") -> float:
                 jax.random.fold_in(jax.random.PRNGKey(5), i),
             )
         float(loss)
-        return (time.time() - t0) / STEPS
+        return (time.time() - t0) / STEPS, None
 
     student = DiffPruningStudent(cfg=mcfg, pruning=cfg.pruning)
     state = create_train_state(student, tx, jax.random.PRNGKey(2), imgs[:1])
     step = jax.jit(
-        make_train_step(student, teacher, tx, cfg), donate_argnums=(0,)
+        make_train_step(student, teacher, tx, cfg,
+                        cached_teacher=cached_teacher),
+        donate_argnums=(0,),
     )
+    teacher_in = tparams
+    if cached_teacher:
+        from dense2sparse_vit_tpu.train.teacher_cache import (
+            make_teacher_outputs_fn,
+        )
 
-    state, m = step(state, tparams, imgs, labels, jax.random.PRNGKey(4),
+        teacher_in = jax.jit(make_teacher_outputs_fn(teacher, cfg))(
+            tparams, imgs
+        )
+
+    flops = None
+    if want_flops:
+        from dense2sparse_vit_tpu.utils.profiling import flops_of
+
+        flops = flops_of(
+            step, state, teacher_in, imgs, labels, jax.random.PRNGKey(4),
+            jnp.float32(6.0),
+        )
+
+    state, m = step(state, teacher_in, imgs, labels, jax.random.PRNGKey(4),
                     jnp.float32(6.0))
     float(m["loss"])  # warm + sync
     t0 = time.time()
     for i in range(STEPS):
         state, m = step(
-            state, tparams, imgs, labels,
+            state, teacher_in, imgs, labels,
             jax.random.fold_in(jax.random.PRNGKey(5), i), jnp.float32(6.0),
         )
     float(m["loss"])  # state threading makes the chain sequential
-    return (time.time() - t0) / STEPS
+    return (time.time() - t0) / STEPS, flops
 
 
 def main():
     rows = {}
     for mode in ("topk", "threshold", "gumbel"):
-        t_fused = run(True, mode)
-        t_ref = run(False, mode)
+        t_fused, _ = run(True, mode)
+        t_ref, _ = run(False, mode)
         rows[mode] = {
             "fused_ms_per_step": round(t_fused * 1e3, 1),
             "unfused_ms_per_step": round(t_ref * 1e3, 1),
             "fused_img_per_s": round(B / t_fused, 1),
             "speedup": round(t_ref / t_fused, 3),
         }
+
+    # batch-scaling sweep on the flagship fused config: img/s AND TFLOP/s
+    # (XLA cost-analysis FLOPs / measured step time); B=128x4 is the
+    # grad-accum comparison — same effective batch as B=512, quarter memory
+    sweep = {}
+    for batch, accum, cached in (
+        (128, 1, False), (256, 1, False), (512, 1, False), (128, 4, False),
+        (128, 1, True), (256, 1, True),
+    ):
+        name = f"B{batch}" + (f"x{accum}" if accum > 1 else "")
+        if cached:
+            name += "_cached_teacher"
+        try:
+            t, fl = run(
+                True, "topk", batch=batch, grad_accum=accum,
+                cached_teacher=cached, want_flops=True,
+            )
+        except Exception as e:  # e.g. HBM OOM at large B
+            sweep[name] = {"error": str(e).split("\n")[0][:160]}
+            continue
+        sweep[name] = {
+            "ms_per_step": round(t * 1e3, 1),
+            "img_per_s": round(batch / t, 1),
+            "tflops_per_s": round((fl or 0) / t / 1e12, 1),
+        }
+
     print(
         json.dumps(
             {
@@ -159,7 +222,7 @@ def main():
                 "value": rows["topk"]["fused_img_per_s"],
                 "unit": "images/sec/chip",
                 "vs_baseline": rows["topk"]["speedup"],
-                "extra": rows,
+                "extra": {**rows, "batch_sweep": sweep},
             }
         )
     )

@@ -130,7 +130,7 @@ def run_experiment(
         ds_train, local_bs, shuffle=True, seed=cfg.train.seed,
         indices=tr_idx_local, num_workers=cfg.data.num_workers,
         with_indices=use_tcache, cache_decoded=use_tcache,
-        normalize_cfg=cfg.data if use_tcache else None,
+        as_uint8=use_tcache,
     )
     # val batch: largest multiple of the mesh data-axis size that fits —
     # static shapes require full batches, but tiny val sets must still eval
@@ -174,7 +174,7 @@ def run_experiment(
         build_loader = make_loader(
             ds_train, local_bs, indices=tr_idx_local, drop_last=False,
             num_workers=cfg.data.num_workers, with_indices=True,
-            normalize_cfg=cfg.data,
+            as_uint8=True,
         )
         tcache = TeacherCache(tr_idx_local)
         t_build0 = time.time()
@@ -296,6 +296,7 @@ def run_experiment(
                     f"loss {running.get('loss', float('nan')):.4f}",
                     flush=True,
                 )
+        t_train = time.time() - t0
         if metric_sum is not None:
             epoch_means = {
                 k: float(v) / n_steps
@@ -352,7 +353,20 @@ def run_experiment(
                 visualize_cls_attn_evo=cfg.visualize_cls_attn_evo,
                 pruning_locs=cfg.pruning.pruning_locs,
             )
-        logger.log({"epoch_seconds": time.time() - t0}, epoch, prefix="time")
+        logger.log(
+            {
+                "epoch_seconds": time.time() - t0,
+                # train phase only (loader + device steps, no eval/viz):
+                # the end-to-end number the e2e epoch bench reads
+                "train_seconds": t_train,
+                "train_img_per_s": (
+                    n_steps * cfg.train.batch_size / t_train
+                    if t_train > 0 and n_steps else 0.0
+                ),
+            },
+            epoch,
+            prefix="time",
+        )
 
     summary = {"best_val_acc": best_acc, "epochs": cfg.train.epochs}
     logger.summary(summary)

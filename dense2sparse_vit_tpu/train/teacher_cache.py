@@ -46,6 +46,10 @@ def make_teacher_outputs_fn(teacher, cfg):
     need_stack = cfg.pruning.cls_from_teacher
 
     def fn(teacher_params, images):
+        if images.dtype == jnp.uint8:
+            from dense2sparse_vit_tpu.data.pipeline import device_normalize
+
+            images = device_normalize(images, cfg.data)
         t_logits, t_tokens, t_attns = teacher.apply(
             {"params": teacher_params}, images, deterministic=True
         )

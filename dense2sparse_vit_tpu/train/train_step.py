@@ -78,6 +78,13 @@ def make_train_step(
     tr = cfg.train
 
     def loss_fn(params, batch_stats, teacher_in, images, labels, rng, epoch):
+        if images.dtype == jnp.uint8:
+            # uint8-fed input path (make_loader(as_uint8=True)): normalize
+            # on device — jit specializes on dtype, so the float path is
+            # untouched
+            from dense2sparse_vit_tpu.data.pipeline import device_normalize
+
+            images = device_normalize(images, cfg.data)
         t_target = None
         if cached_teacher:
             t_logits = teacher_in["logits"].astype(jnp.float32)
@@ -212,6 +219,10 @@ def make_eval_step(student, teacher, cfg: ExperimentConfig) -> Callable:
     pr = cfg.pruning
 
     def eval_step(params, batch_stats, teacher_params, images, labels):
+        if images.dtype == jnp.uint8:
+            from dense2sparse_vit_tpu.data.pipeline import device_normalize
+
+            images = device_normalize(images, cfg.data)
         valid = (labels >= 0).astype(jnp.float32)
         n_valid = jnp.maximum(jnp.sum(valid), 1.0)
         labels = jnp.maximum(labels, 0)

@@ -84,6 +84,71 @@ class TestLoader:
         assert not np.array_equal(y1, y2)  # seeded per-epoch reshuffle
 
 
+class TestEvalTransformTorchvisionSemantics:
+    """Pixel-level pin of eval_transform vs torchvision's documented PIL
+    path (torchvision itself is not installed in this env; on PIL inputs
+    torchvision F.resize/center_crop reduce to exactly the PIL calls +
+    size arithmetic reproduced independently here).
+
+    Parity: /root/reference/build_data_sets.py:25-30 —
+    Resize(256, bicubic) -> CenterCrop(224).
+    """
+
+    @pytest.mark.parametrize(
+        "w,h",
+        [
+            (500, 333),   # landscape, truncating ratio
+            (333, 500),   # portrait
+            (256, 256),   # exact short side -> resize must be a no-op
+            (256, 480),   # short side already == size, long side != size
+            (224, 224),   # smaller than resize target on both sides? no:
+                          # short side 224 < 256 -> upscale
+            (640, 479),   # truncation case: 256*640/479 = 342.04 -> 342
+        ],
+    )
+    def test_matches_independent_torchvision_formula(self, w, h):
+        rng = np.random.default_rng(42)
+        img = Image.fromarray(
+            rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        )
+
+        got = eval_transform(CFG, normalize=False)(img)
+
+        # independent reimplementation of torchvision F.resize +
+        # F.center_crop on PIL (torchvision/transforms/functional.py)
+        size, c = CFG.eval_resize, CFG.eval_crop
+        ref = img
+        if not (
+            (w <= h and w == size) or (h <= w and h == size)
+        ):
+            if w < h:
+                ow, oh = size, int(size * h / w)
+            else:
+                oh, ow = size, int(size * w / h)
+            ref = ref.resize((ow, oh), Image.BICUBIC)
+        rw, rh = ref.size
+        left = int(round((rw - c) / 2.0))
+        top = int(round((rh - c) / 2.0))
+        ref = ref.crop((left, top, left + c, top + c))
+
+        assert got.dtype == np.uint8 and got.shape == (c, c, 3)
+        np.testing.assert_array_equal(got, np.asarray(ref))
+
+    def test_noop_resize_preserves_pixels(self):
+        # short side == eval_resize: torchvision skips the resize entirely;
+        # a naive always-resize would re-encode through the bicubic filter
+        h, w = CFG.eval_resize, 60  # short side == size
+        rng = np.random.default_rng(7)
+        arr = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        got = eval_transform(CFG, normalize=False)(Image.fromarray(arr))
+        left = int(round((w - CFG.eval_crop) / 2.0))
+        top = int(round((h - CFG.eval_crop) / 2.0))
+        np.testing.assert_array_equal(
+            got,
+            arr[top:top + CFG.eval_crop, left:left + CFG.eval_crop],
+        )
+
+
 class TestRandAugment:
     def test_parse_policy(self):
         ra = parse_rand_augment("rand-m9-mstd0.5-inc1")
@@ -253,6 +318,24 @@ class TestParallelLoader:
         ds = ImageFolder(folder, eval_transform(CFG))
         with pytest.raises(ValueError, match="uint8"):
             make_loader(ds, batch_size=4, cache_decoded=True)
+
+    def test_as_uint8_with_device_normalize_matches_host(self, folder):
+        from dense2sparse_vit_tpu.data.pipeline import device_normalize
+
+        ds_f32 = ImageFolder(folder, eval_transform(CFG))
+        ds_u8 = ImageFolder(folder, eval_transform(CFG, normalize=False))
+        ref = list(make_loader(ds_f32, batch_size=4)())
+        got = list(make_loader(ds_u8, batch_size=4, as_uint8=True)())
+        for (x0, y0), (x1, y1) in zip(ref, got):
+            assert x1.dtype == np.uint8
+            np.testing.assert_array_equal(y0, y1)
+            dev = np.asarray(device_normalize(jnp.asarray(x1), CFG))
+            np.testing.assert_allclose(x0, dev, rtol=1e-5, atol=1e-5)
+
+    def test_as_uint8_requires_uint8_transform(self, folder):
+        ds = ImageFolder(folder, eval_transform(CFG))
+        with pytest.raises(ValueError, match="uint8"):
+            next(make_loader(ds, batch_size=4, as_uint8=True)())
 
     def test_drop_last_false_yields_tail(self, folder):
         ds = ImageFolder(folder, eval_transform(CFG))
