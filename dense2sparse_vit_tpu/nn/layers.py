@@ -202,10 +202,21 @@ class Block(nn.Module):
             self.drop == 0.0 and self.attn_drop == 0.0
             and self.drop_path == 0.0
         )
+        # drop_path ALONE (the regularizer every from-scratch T2T/TNT
+        # recipe uses; elementwise dropout rates stay 0 there) keeps the
+        # fused path: DropPath is a per-sample branch multiplier, passed
+        # to the whole-block kernel as a (B,) operand in both directions.
+        dp_only = (
+            self.drop == 0.0 and self.attn_drop == 0.0
+            and self.drop_path > 0.0
+        )
         attn_fusable = (
             self.use_fused
             and not self.is_initializing()
-            and (deterministic or (drops_off and not return_cls_attn))
+            and (
+                deterministic
+                or ((drops_off or dp_only) and not return_cls_attn)
+            )
         )
         if attn_fusable:
             # the WHOLE block as one Pallas kernel (ops/pallas/block.py):
@@ -214,8 +225,9 @@ class Block(nn.Module):
             # sees one read of x and one write of the output in EACH
             # direction (the custom VJP runs the single-kernel whole-block
             # backward; x_mid never round-trips HBM).
-            # Dropout/droppath are inactive on every path that reaches
-            # here, so semantics match the flax path exactly.
+            # Elementwise dropout is inactive on every path that reaches
+            # here; drop_path (if active) enters the kernel as per-sample
+            # branch scales, so semantics match the flax path exactly.
             from dense2sparse_vit_tpu.ops.pallas.block import (
                 fused_transformer_block,
                 fused_transformer_block_trainable,
@@ -247,6 +259,22 @@ class Block(nn.Module):
                 "b2": p["mlp"]["fc2"]["bias"],
             }
             sc = self.qk_scale or head_dim ** -0.5
+            branch_scales = None
+            if dp_only and not deterministic:
+                # stochastic depth: Bernoulli(keep)/keep per sample per
+                # branch (reference drop_path, dynamic_vit.py:265-266);
+                # two draws ≙ the flax path's two DropPath applications
+                keep = 1.0 - self.drop_path
+                r1, r2 = jax.random.split(self.make_rng("dropout"))
+                B = x.shape[0]
+                branch_scales = (
+                    jax.random.bernoulli(r1, keep, (B,)).astype(
+                        jnp.float32
+                    ) / keep,
+                    jax.random.bernoulli(r2, keep, (B,)).astype(
+                        jnp.float32
+                    ) / keep,
+                )
             if return_cls_attn:
                 # CLS-row capture is a second kernel output (no extra
                 # matmuls); only reached without gradients (teacher
@@ -258,6 +286,7 @@ class Block(nn.Module):
                 return x, cls_attn
             return fused_transformer_block_trainable(
                 x, pd, self.num_heads, pol, sc, self.layer_norm_eps,
+                branch_scales,
             )
         else:
             y = nn.LayerNorm(

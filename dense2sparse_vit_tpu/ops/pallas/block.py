@@ -39,10 +39,10 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _block_kernel(x_ref, pol_ref, wqkv_ref, csq_ref, bqp_ref, wproj_ref,
-                  bproj_ref, w1s_ref, cs1_ref, b1p_ref, w2_ref, b2_ref,
-                  out_ref, *cls_ref_opt, scale, eps, ln_eps, n_valid,
-                  num_heads, head_dim, use_policy, exact=False):
+def _block_kernel(x_ref, pol_ref, sa_ref, sm_ref, wqkv_ref, csq_ref,
+                  bqp_ref, wproj_ref, bproj_ref, w1s_ref, cs1_ref, b1p_ref,
+                  w2_ref, b2_ref, out_ref, *cls_ref_opt, scale, eps, ln_eps,
+                  n_valid, num_heads, head_dim, use_policy, exact=False):
     cls_ref = cls_ref_opt[0] if cls_ref_opt else None
     nb, np_, c = x_ref.shape
     rows = nb * np_
@@ -145,7 +145,17 @@ def _block_kernel(x_ref, pol_ref, wqkv_ref, csq_ref, bqp_ref, wproj_ref,
         attn_out, wproj_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bproj_ref[:].astype(jnp.float32)
-    x_mid = (x2.astype(jnp.float32) + proj).astype(dtype)
+    # per-sample residual-branch scales (stochastic depth / DropPath,
+    # dynamic_vit.py:265-266): scale == 1 everywhere is bit-exact identity
+    sarow = (
+        sa_ref[:].astype(jnp.float32)
+        * jnp.ones((nb, n, 1), jnp.float32)
+    ).reshape(rows, 1)
+    smrow = (
+        sm_ref[:].astype(jnp.float32)
+        * jnp.ones((nb, n, 1), jnp.float32)
+    ).reshape(rows, 1)
+    x_mid = (x2.astype(jnp.float32) + sarow * proj).astype(dtype)
 
     # ---- MLP half (x_mid stays in VMEM) ----
     y = ln_folded_matmul(x_mid, w1s_ref[:], cs1_ref[:], b1p_ref[:])
@@ -155,7 +165,7 @@ def _block_kernel(x_ref, pol_ref, wqkv_ref, csq_ref, bqp_ref, wproj_ref,
         preferred_element_type=jnp.float32,
     ) + b2_ref[:].astype(jnp.float32)
     out_ref[:] = (
-        x_mid.astype(jnp.float32) + o2
+        x_mid.astype(jnp.float32) + smrow * o2
     ).reshape(nb, np_, c).astype(out_ref.dtype)
 
 
@@ -181,6 +191,7 @@ def fused_transformer_block(
     block_batch: int = 8,
     return_cls: bool = False,
     exact: bool = False,
+    branch_scales=None,
     interpret: bool = False,
 ):
     """One whole pre-norm transformer block in one kernel.
@@ -189,6 +200,11 @@ def fused_transformer_block(
       x: (B, N, C) residual stream.
       params: dict with ln1_scale/ln1_bias/wqkv/bqkv/wproj/bproj/
         ln2_scale/ln2_bias/w1/b1/w2/b2 (original, unfolded weights).
+      branch_scales: optional ((B,), (B,)) per-sample multipliers on the
+        attention and MLP residual branches — stochastic depth / DropPath
+        (reference dynamic_vit.py:265-266: the Bernoulli(keep)/keep mask
+        is per sample). None means 1.0 (bit-exact with the unscaled
+        kernel; the multiply by 1.0 is exact in fp32).
     """
     B, N, C = x.shape
     head_dim = C // num_heads
@@ -218,8 +234,13 @@ def fused_transformer_block(
         params["ln2_scale"], params["ln2_bias"],
         params["w1"], params["b1"], dtype,
     )
+    if branch_scales is None:
+        sa = sm = jnp.ones((B, 1, 1), jnp.float32)
+    else:
+        sa = branch_scales[0].astype(jnp.float32)[:, None, None]
+        sm = branch_scales[1].astype(jnp.float32)[:, None, None]
     operands = [
-        xp, pol[:, None, :],
+        xp, pol[:, None, :], sa, sm,
         wqkv_s, csq, bqp,
         params["wproj"].astype(dtype),
         params["bproj"].astype(jnp.float32)[None, :],
@@ -232,8 +253,12 @@ def fused_transformer_block(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((nb, 1, Np), lambda b: (b, 0, 0),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec((nb, 1, 1), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nb, 1, 1), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
     ]
-    for op in operands[2:]:
+    for op in operands[4:]:
         in_specs.append(
             pl.BlockSpec(op.shape, lambda b, nd=op.ndim: (0,) * nd,
                          memory_space=pltpu.VMEM)
@@ -279,7 +304,8 @@ def fused_transformer_block(
     return result[:, :N] if pad else result
 
 
-def _ref_block(x, params, num_heads, policy, scale, ln_eps):
+def _ref_block(x, params, num_heads, policy, scale, ln_eps,
+               branch_scales=None):
     from dense2sparse_vit_tpu.ops.pallas.attention import (
         _ref_attention_block,
     )
@@ -290,40 +316,69 @@ def _ref_block(x, params, num_heads, policy, scale, ln_eps):
         params["bqkv"], params["wproj"], params["bproj"], num_heads,
         policy, scale, ln_eps,
     )
-    return _reference_mlp_residual(
+    if branch_scales is not None:
+        # the half-block refs add the residual internally; recover the
+        # branch and apply the per-sample DropPath scale (exact in fp32)
+        sa = branch_scales[0].astype(jnp.float32)[:, None, None]
+        x_mid = (
+            x.astype(jnp.float32) + sa * (
+                x_mid.astype(jnp.float32) - x.astype(jnp.float32)
+            )
+        ).astype(x.dtype)
+    out = _reference_mlp_residual(
         x_mid, params["ln2_scale"], params["ln2_bias"], params["w1"],
         params["b1"], params["w2"], params["b2"], ln_eps,
     )
+    if branch_scales is not None:
+        sm = branch_scales[1].astype(jnp.float32)[:, None, None]
+        out = (
+            x_mid.astype(jnp.float32) + sm * (
+                out.astype(jnp.float32) - x_mid.astype(jnp.float32)
+            )
+        ).astype(x.dtype)
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 4, 5))
 def fused_transformer_block_trainable(
     x, params, num_heads, policy=None, scale=None, ln_eps=1e-6,
+    branch_scales=None,
 ):
-    """Differentiable whole-block: one Pallas kernel forward; backward
-    recomputes x_mid with the attention half kernel and chains the two
-    fused half-block backward kernels."""
+    """Differentiable whole-block: one Pallas kernel in EACH direction
+    (the custom VJP runs the single-kernel whole-block backward).
+
+    branch_scales: optional ((B,), (B,)) DropPath multipliers on the two
+    residual branches; treated as constants under differentiation (they
+    are Bernoulli RNG draws, never functions of parameters), so their
+    returned cotangent is zero."""
     return fused_transformer_block(
         x, params, num_heads, policy, scale=scale, ln_eps=ln_eps, exact=True,
+        branch_scales=branch_scales,
     )
 
 
-def _ftb_fwd(x, params, num_heads, policy, scale, ln_eps):
+def _ftb_fwd(x, params, num_heads, policy, scale, ln_eps, branch_scales):
     out = fused_transformer_block(
         x, params, num_heads, policy, scale=scale, ln_eps=ln_eps, exact=True,
+        branch_scales=branch_scales,
     )
-    return out, (x, params, policy)
+    return out, (x, params, policy, branch_scales)
 
 
 def _ftb_bwd(num_heads, scale, ln_eps, res, g):
-    x, p, policy = res
+    x, p, policy, branch_scales = res
     dx, draw, dpol = fused_transformer_block_backward(
         x, g, p, num_heads, policy, scale=scale, ln_eps=ln_eps,
+        branch_scales=branch_scales,
     )
     dparams = {key: draw[key].astype(p[key].dtype) for key in p}
     if dpol is not None:
         dpol = dpol.astype(policy.dtype)
-    return dx, dparams, dpol
+    dbs = (
+        None if branch_scales is None
+        else tuple(jnp.zeros_like(s) for s in branch_scales)
+    )
+    return dx, dparams, dpol, dbs
 
 
 fused_transformer_block_trainable.defvjp(_ftb_fwd, _ftb_bwd)
@@ -334,7 +389,8 @@ fused_transformer_block_trainable.defvjp(_ftb_fwd, _ftb_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _block_bwd_kernel(x_ref, pol_ref, g_ref, lns1_ref, lnb1_ref, wqkv_ref,
+def _block_bwd_kernel(x_ref, pol_ref, sa_ref, sm_ref, g_ref, lns1_ref,
+                      lnb1_ref, wqkv_ref,
                       bqkv_ref, wproj_ref, bproj_ref, lns2_ref, lnb2_ref,
                       w1_ref, b1_ref, w2_ref,
                       dx_ref, dpol_ref, dlns1_ref, dlnb1_ref, dwqkv_ref,
@@ -383,6 +439,15 @@ def _block_bwd_kernel(x_ref, pol_ref, g_ref, lns1_ref, lnb1_ref, wqkv_ref,
     valid = (tok < n_valid).astype(jnp.float32)
     col3 = jax.lax.broadcasted_iota(jnp.int32, (nb, n, n), 2)
     pad_mask = col3 < n_valid
+    # per-sample DropPath branch scales (1.0 when inactive — exact)
+    sarow = (
+        sa_ref[:].astype(jnp.float32)
+        * jnp.ones((nb, n, 1), jnp.float32)
+    ).reshape(rows, 1)
+    smrow = (
+        sm_ref[:].astype(jnp.float32)
+        * jnp.ones((nb, n, 1), jnp.float32)
+    ).reshape(rows, 1)
 
     # ---- forward recompute: LN1 -> qkv (padded rows zeroed) ----
     x2 = x_ref[:].reshape(rows, c)
@@ -445,7 +510,7 @@ def _block_bwd_kernel(x_ref, pol_ref, g_ref, lns1_ref, lnb1_ref, wqkv_ref,
         att_out, wproj, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bproj_ref[:].astype(jnp.float32)
-    xmid32 = x32 + proj
+    xmid32 = x32 + sarow * proj
     xmid = xmid32.astype(dtype)
 
     # ---- MLP half: forward recompute + backward ----
@@ -460,7 +525,9 @@ def _block_bwd_kernel(x_ref, pol_ref, g_ref, lns1_ref, lnb1_ref, wqkv_ref,
     act = _gelu_exact(y.astype(dtype))
 
     g = g_ref[:].reshape(rows, c).astype(jnp.float32)
-    gm2 = g * valid
+    # cotangent entering the MLP branch picks up the branch scale; the
+    # residual passthrough (the bare `+ g` into dxmid below) does not
+    gm2 = g * valid * smrow
     w2 = w2_ref[:]
     da2 = jax.lax.dot_general(
         gm2.astype(dtype), w2, (((1,), (1,)), ((), ())),
@@ -483,7 +550,7 @@ def _block_bwd_kernel(x_ref, pol_ref, g_ref, lns1_ref, lnb1_ref, wqkv_ref,
     dxmid = rr2 * (dz2 - mdz2 - z2 * mdzz2) * valid + g
 
     # ---- attention backward (head pass 2) ----
-    gm1 = dxmid * valid
+    gm1 = dxmid * valid * sarow
     datt = jax.lax.dot_general(
         gm1.astype(dtype), wproj, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -638,6 +705,7 @@ def fused_transformer_block_backward(
     eps: float = 1e-6,
     ln_eps: float = 1e-6,
     block_batch: int = 4,
+    branch_scales=None,
     interpret: bool = False,
 ):
     """All cotangents of the whole transformer block in ONE kernel.
@@ -668,8 +736,13 @@ def fused_transformer_block_backward(
     nb = max(nb, 1)
     hidden = params["w1"].shape[1]
 
+    if branch_scales is None:
+        sa = sm = jnp.ones((B, 1, 1), jnp.float32)
+    else:
+        sa = branch_scales[0].astype(jnp.float32)[:, None, None]
+        sm = branch_scales[1].astype(jnp.float32)[:, None, None]
     operands = [
-        x, pol[:, None, :], g.astype(dtype),
+        x, pol[:, None, :], sa, sm, g.astype(dtype),
         params["ln1_scale"].astype(jnp.float32)[None, :],
         params["ln1_bias"].astype(jnp.float32)[None, :],
         params["wqkv"].astype(dtype),
@@ -687,10 +760,14 @@ def fused_transformer_block_backward(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((nb, 1, Np), lambda b: (b, 0, 0),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec((nb, 1, 1), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nb, 1, 1), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((nb, Np, C), lambda b: (b, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    for op in operands[3:]:
+    for op in operands[5:]:
         in_specs.append(
             pl.BlockSpec(op.shape, lambda b, nd=op.ndim: (0,) * nd,
                          memory_space=pltpu.VMEM)
