@@ -17,7 +17,10 @@ import numpy as np
 from PIL import Image, ImageEnhance, ImageOps
 
 _MAX_LEVEL = 10.0
-_FILL = (128, 128, 128)
+# timm create_transform passes aa_params img_mean = round(255 * mean) as
+# the geometric-op fill color (timm/data/transforms_factory.py); for the
+# ImageNet mean that is (124, 116, 104), NOT the bare-timm default 128
+_FILL = (124, 116, 104)
 
 
 def _randomly_negate(v, rng):
@@ -26,30 +29,30 @@ def _randomly_negate(v, rng):
 
 # --- op implementations (PIL) -------------------------------------------------
 
-def _shear_x(img, v):
+def _shear_x(img, v, fill):
     return img.transform(img.size, Image.AFFINE, (1, v, 0, 0, 1, 0),
-                         resample=Image.BICUBIC, fillcolor=_FILL)
+                         resample=Image.BICUBIC, fillcolor=fill)
 
 
-def _shear_y(img, v):
+def _shear_y(img, v, fill):
     return img.transform(img.size, Image.AFFINE, (1, 0, 0, v, 1, 0),
-                         resample=Image.BICUBIC, fillcolor=_FILL)
+                         resample=Image.BICUBIC, fillcolor=fill)
 
 
-def _translate_x_rel(img, v):
+def _translate_x_rel(img, v, fill):
     pixels = v * img.size[0]
     return img.transform(img.size, Image.AFFINE, (1, 0, pixels, 0, 1, 0),
-                         resample=Image.BICUBIC, fillcolor=_FILL)
+                         resample=Image.BICUBIC, fillcolor=fill)
 
 
-def _translate_y_rel(img, v):
+def _translate_y_rel(img, v, fill):
     pixels = v * img.size[1]
     return img.transform(img.size, Image.AFFINE, (1, 0, 0, 0, 1, pixels),
-                         resample=Image.BICUBIC, fillcolor=_FILL)
+                         resample=Image.BICUBIC, fillcolor=fill)
 
 
-def _rotate(img, v):
-    return img.rotate(v, resample=Image.BICUBIC, fillcolor=_FILL)
+def _rotate(img, v, fill):
+    return img.rotate(v, resample=Image.BICUBIC, fillcolor=fill)
 
 
 def _posterize(img, bits):
@@ -71,7 +74,7 @@ def _enh(factory):
     return lambda img, v: factory(img).enhance(v)
 
 
-def _ops(rng):
+def _ops(rng, fill=_FILL):
     def signed(scale):
         return lambda m: _randomly_negate(m / _MAX_LEVEL * scale, rng)
 
@@ -79,11 +82,14 @@ def _ops(rng):
         # 'increasing' enhancement: factor 1 +/- 0.9 * m/10
         return lambda m: 1.0 + _randomly_negate(m / _MAX_LEVEL * 0.9, rng)
 
+    def geo(fn):
+        return lambda img, v: fn(img, v, fill)
+
     return [
         ("AutoContrast", None, lambda img, v: ImageOps.autocontrast(img)),
         ("Equalize", None, lambda img, v: ImageOps.equalize(img)),
         ("Invert", None, lambda img, v: ImageOps.invert(img)),
-        ("Rotate", signed(30.0), _rotate),
+        ("Rotate", signed(30.0), geo(_rotate)),
         ("Posterize", lambda m: 4 - int(m / _MAX_LEVEL * 4), _posterize),
         ("Solarize", lambda m: 256 - int(m / _MAX_LEVEL * 256), _solarize),
         ("SolarizeAdd", lambda m: int(m / _MAX_LEVEL * 110), _solarize_add),
@@ -91,24 +97,26 @@ def _ops(rng):
         ("Contrast", enhance_inc(), _enh(ImageEnhance.Contrast)),
         ("Brightness", enhance_inc(), _enh(ImageEnhance.Brightness)),
         ("Sharpness", enhance_inc(), _enh(ImageEnhance.Sharpness)),
-        ("ShearX", signed(0.3), _shear_x),
-        ("ShearY", signed(0.3), _shear_y),
-        ("TranslateXRel", signed(0.45), _translate_x_rel),
-        ("TranslateYRel", signed(0.45), _translate_y_rel),
+        ("ShearX", signed(0.3), geo(_shear_x)),
+        ("ShearY", signed(0.3), geo(_shear_y)),
+        ("TranslateXRel", signed(0.45), geo(_translate_x_rel)),
+        ("TranslateYRel", signed(0.45), geo(_translate_y_rel)),
     ]
 
 
 class RandAugment:
     """rand-mN-mstdS-inc1 policy (timm string parity, build_data_sets.py:19)."""
 
-    def __init__(self, magnitude=9, magnitude_std=0.5, num_layers=2, prob=0.5):
+    def __init__(self, magnitude=9, magnitude_std=0.5, num_layers=2,
+                 prob=0.5, fill=_FILL):
         self.magnitude = magnitude
         self.magnitude_std = magnitude_std
         self.num_layers = num_layers
         self.prob = prob
+        self.fill = fill
 
     def __call__(self, img: Image.Image, rng: np.random.Generator) -> Image.Image:
-        ops = _ops(rng)
+        ops = _ops(rng, self.fill)
         for _ in range(self.num_layers):
             if rng.random() > self.prob:
                 continue
@@ -122,11 +130,15 @@ class RandAugment:
         return img
 
 
-def parse_rand_augment(spec: str) -> RandAugment:
-    """Parse a timm-style policy string, e.g. 'rand-m9-mstd0.5-inc1'."""
+def parse_rand_augment(spec: str, fill=None) -> RandAugment:
+    """Parse a timm-style policy string, e.g. 'rand-m9-mstd0.5-inc1'.
+
+    fill: geometric-op fill color; timm's create_transform derives it from
+    the dataset mean (round(255*mean)), see _FILL above.
+    """
     if not spec.startswith("rand"):
         raise ValueError(f"only 'rand-*' policies supported, got {spec!r}")
-    kwargs = {}
+    kwargs = {} if fill is None else {"fill": tuple(fill)}
     for part in spec.split("-")[1:]:
         if part.startswith("mstd"):
             kwargs["magnitude_std"] = float(part[4:])

@@ -131,7 +131,13 @@ def eval_transform(cfg: DataConfig, normalize: bool = True) -> Callable:
 
 def train_transform(cfg: DataConfig, seed: int = 0) -> Callable:
     """RandomResizedCrop -> flip -> RandAugment -> Normalize -> RandomErasing."""
-    ra = parse_rand_augment(cfg.auto_augment) if cfg.auto_augment else None
+    # geometric-op fill = round(255*mean), as timm's create_transform
+    # passes via aa_params img_mean (build_data_sets.py:15-24)
+    fill = tuple(min(255, round(255 * m)) for m in cfg.mean)
+    ra = (
+        parse_rand_augment(cfg.auto_augment, fill=fill)
+        if cfg.auto_augment else None
+    )
     rng = np.random.default_rng(seed)
     interp = {"bicubic": Image.BICUBIC, "bilinear": Image.BILINEAR}[
         cfg.train_interpolation

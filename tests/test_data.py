@@ -149,6 +149,98 @@ class TestEvalTransformTorchvisionSemantics:
         )
 
 
+class TestRandAugmentOpGoldens:
+    """Op-by-op pins of the RandAugment table at fixed magnitude against
+    independent reimplementations of timm's documented level arithmetic
+    (timm/data/auto_augment.py; timm itself is not installed here, but on
+    PIL inputs its ops reduce to the PIL calls + level formulas reproduced
+    in each case below). Covers fill color (= round(255*mean), passed by
+    timm create_transform as aa_params img_mean), resample mode, and the
+    magnitude->argument mapping of every parameterized op."""
+
+    def _img(self):
+        rng = np.random.default_rng(11)
+        return Image.fromarray(
+            rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+        )
+
+    def _table(self, rng=None, fill=None):
+        from dense2sparse_vit_tpu.data.augment import _FILL, _ops
+
+        rng = rng or np.random.default_rng(0)
+        return {
+            name: (level_fn, fn)
+            for name, level_fn, fn in _ops(rng, fill or _FILL)
+        }, _FILL
+
+    def test_default_fill_is_imagenet_mean(self):
+        from dense2sparse_vit_tpu.data.augment import _FILL
+
+        assert _FILL == (124, 116, 104)  # round(255 * (.485,.456,.406))
+
+    def test_rotate_golden(self):
+        (table, fill), img = self._table(), self._img()
+        _, fn = table["Rotate"]
+        got = fn(img, 27.0)  # m=9 -> 9/10*30 = 27 deg
+        want = img.rotate(27.0, resample=Image.BICUBIC, fillcolor=fill)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_shear_translate_goldens(self):
+        (table, fill), img = self._table(), self._img()
+        v = 9 / 10 * 0.3  # m=9 shear
+        got = table["ShearX"][1](img, v)
+        want = img.transform(
+            img.size, Image.AFFINE, (1, v, 0, 0, 1, 0),
+            resample=Image.BICUBIC, fillcolor=fill,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        t = 9 / 10 * 0.45 * img.size[1]  # m=9 translate-rel, y axis
+        got = table["TranslateYRel"][1](img, 9 / 10 * 0.45)
+        want = img.transform(
+            img.size, Image.AFFINE, (1, 0, 0, 0, 1, t),
+            resample=Image.BICUBIC, fillcolor=fill,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_posterize_solarize_goldens(self):
+        from PIL import ImageOps
+
+        (table, _), img = self._table(), self._img()
+        # m=9: posterize bits = 4 - int(9/10*4) = 1
+        assert table["Posterize"][0](9.0) == 1
+        got = table["Posterize"][1](img, table["Posterize"][0](9.0))
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(ImageOps.posterize(img, 1))
+        )
+        # m=9: solarize thresh = 256 - int(9/10*256) = 26
+        assert table["Solarize"][0](9.0) == 26
+        got = table["Solarize"][1](img, 26)
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(ImageOps.solarize(img, 26))
+        )
+        # m=9: solarize-add amount = int(9/10*110) = 99, thresh 128
+        assert table["SolarizeAdd"][0](9.0) == 99
+        got = np.asarray(table["SolarizeAdd"][1](img, 99))
+        arr = np.asarray(img).astype(np.int64)
+        want = np.where(arr < 128, np.clip(arr + 99, 0, 255), arr)
+        np.testing.assert_array_equal(got, want.astype(np.uint8))
+
+    def test_enhance_increasing_level_formula(self):
+        # 'increasing' variants: factor = 1 +/- 0.9 * m/10; at m=9 the
+        # magnitude term is 0.81
+        rng = np.random.default_rng(3)
+        (table, _), img = self._table(rng=rng), self._img()
+        vals = {abs(round(table["Color"][0](9.0) - 1.0, 6))
+                for _ in range(8)}
+        assert vals == {0.81}
+
+    def test_signed_levels_negate_sometimes(self):
+        rng = np.random.default_rng(5)
+        (table, _), _ = self._table(rng=rng), None
+        draws = {table["Rotate"][0](9.0) for _ in range(32)}
+        assert draws == {27.0, -27.0}
+
+
 class TestRandAugment:
     def test_parse_policy(self):
         ra = parse_rand_augment("rand-m9-mstd0.5-inc1")
