@@ -178,14 +178,27 @@ def run_experiment(
         )
         tcache = TeacherCache(tr_idx_local)
         t_build0 = time.time()
+        # single-host: also cache the decoded uint8 images/labels so the
+        # whole epoch can become device-resident (below) — per step, only
+        # the (B,) index vector then crosses the host->device link
         tcache.build(
             make_teacher_outputs_fn(teacher, cfg),
             teacher_params, build_loader, local_bs,
+            cache_images=(nproc == 1),
         )
+        mib = tcache.nbytes / 2**20
+        if nproc == 1:
+            tcache.to_device(repl, data_sh)
         if is_primary():
+            where = (
+                "device-resident (incl. images)"
+                if tcache.device_has_images
+                else "device-resident (teacher rows)" if tcache.on_device
+                else "host"
+            )
             print(
                 f"teacher cache: {len(tr_idx_local)} samples, "
-                f"{tcache.nbytes / 2**20:.0f} MiB, "
+                f"{mib:.0f} MiB, {where}, "
                 f"{time.time() - t_build0:.1f}s",
                 flush=True,
             )
@@ -250,27 +263,51 @@ def run_experiment(
 
     log_every = max(cfg.train.log_every_steps, 1)
 
+    def train_batches(epoch):
+        """Yield (images, labels, teacher_in) device batches for one epoch.
+
+        Device-resident fast path (single host, cache fits HBM): shuffle
+        indices host-side, gather images/labels/teacher rows ON DEVICE —
+        per step only the (B,) index vector is transferred, so epochs are
+        immune to host-link bandwidth entirely.
+        """
+        if use_tcache and tcache.device_has_images:
+            order = np.asarray(tr_idx_local).copy()
+            np.random.default_rng(cfg.train.seed + epoch).shuffle(order)
+            for b in range(steps_per_epoch):
+                sel = order[b * local_bs:(b + 1) * local_bs]
+                got = tcache.lookup_device(sel)
+                yield got.pop("images"), got.pop("labels"), got
+            return
+        for step_i, item in enumerate(train_loader()):
+            if step_i >= steps_per_epoch:
+                break
+            if use_tcache:
+                xb, yb, sel = item
+                teacher_in = (
+                    tcache.lookup_device(sel) if tcache.on_device
+                    else {
+                        k: put_global_batch(data_sh, v)
+                        for k, v in tcache.lookup(sel).items()
+                    }
+                )
+            else:
+                xb, yb = item
+                teacher_in = teacher_params
+            yield (
+                put_global_batch(img_sh, xb),
+                put_global_batch(data_sh, yb),
+                teacher_in,
+            )
+
     for epoch in range(start_epoch, cfg.train.epochs):
         t0 = time.time()
         # running means across the epoch (reference losses.py:111-117,
         # train.py:76-83 accumulate into a shared metrics dict); sums stay
         # on device, fetched at the logging cadence
         metric_sum, n_steps = None, 0
-        for step_i, item in enumerate(train_loader()):
-            if step_i >= steps_per_epoch:
-                break
+        for step_i, (xb, yb, teacher_in) in enumerate(train_batches(epoch)):
             key = jax.random.fold_in(rng, epoch * 100003 + step_i)
-            if use_tcache:
-                xb, yb, sel = item
-                teacher_in = {
-                    k: put_global_batch(data_sh, v)
-                    for k, v in tcache.lookup(sel).items()
-                }
-            else:
-                xb, yb = item
-                teacher_in = teacher_params
-            xb = put_global_batch(img_sh, xb)
-            yb = put_global_batch(data_sh, yb)
             if mixup.active:
                 xb, yb = mixup(jax.random.fold_in(key, 1), xb, yb)
             state, metrics = train_step(

@@ -80,30 +80,43 @@ class TeacherCache:
         self._pos = {int(i): r for r, i in enumerate(indices)}
         self._store: dict[str, np.ndarray] = {}
         self.filled = np.zeros(len(self._pos), bool)
+        self._dev: dict | None = None
+        self._gather = None
 
-    def build(self, outputs_fn, teacher_params, loader, batch_size):
+    def build(self, outputs_fn, teacher_params, loader, batch_size,
+              cache_images: bool = False):
         """One deterministic pre-pass over `loader` (must yield indices).
 
         Runs host-locally on this process's first device — the teacher
         forward is ~10k img/s/chip, so even a single device covers the 40k
         split in seconds; no cross-host resharding logic is needed.
+
+        cache_images: also store the raw uint8 input batches (and labels)
+        under 'images'/'labels' — they pass through this pre-pass anyway,
+        and a later to_device() can then make steady-state epochs fully
+        device-resident (per step, only the (B,) index vector crosses the
+        host->device link).
         """
         dev = jax.local_devices()[0]
         tp = jax.device_put(teacher_params, dev)
         run = jax.jit(outputs_fn)
-        for xb, _, sel in loader():
+        for xb, yb, sel in loader():
             n = len(sel)
             if n < batch_size:  # static shapes: pad, then drop the pad rows
                 xb = np.concatenate(
                     [xb, np.repeat(xb[:1], batch_size - n, axis=0)]
                 )
             out = jax.device_get(run(tp, jax.device_put(xb, dev)))
+            if cache_images:
+                out["images"] = xb
+                out["labels"] = np.asarray(yb, np.int32)
             rows = [self._pos[int(i)] for i in sel]
             for key, arr in out.items():
                 store = self._store.get(key)
                 if store is None:
                     store = np.empty(
-                        (len(self._pos),) + arr.shape[1:], _BF16
+                        (len(self._pos),) + arr.shape[1:],
+                        arr.dtype if key in ("images", "labels") else _BF16,
                     )
                     self._store[key] = store
                 store[rows] = arr[:n]
@@ -118,7 +131,68 @@ class TeacherCache:
     def nbytes(self) -> int:
         return sum(a.nbytes for a in self._store.values())
 
+    @property
+    def on_device(self) -> bool:
+        return self._dev is not None
+
+    @property
+    def device_has_images(self) -> bool:
+        return self._dev is not None and "images" in self._dev
+
+    def to_device(self, repl_sharding, out_sharding,
+                  limit_bytes: int = 6 << 30) -> bool:
+        """Move the cache into device HBM; lookups become on-device gathers.
+
+        TPU-native rationale: per-step host->device traffic for the cached
+        tensors (~0.2 MB/img) can exceed the step's compute time on
+        bandwidth-limited links; resident-in-HBM + jnp.take turns that
+        into an on-chip gather. Falls back (returns False) when the store
+        exceeds limit_bytes; tries again without images/labels (the
+        biggest rows) so the teacher outputs alone can still be resident.
+
+        repl_sharding: placement for the cache arrays (replicated over the
+        mesh). out_sharding: layout for gathered batches (data-sharded,
+        matching what the train step expects).
+        """
+        if not self._store:
+            return False
+        keys = set(self._store)
+        total = self.nbytes
+        if total > limit_bytes:
+            keys -= {"images", "labels"}
+            total = sum(self._store[k].nbytes for k in keys)
+            # images/labels exist only for device residency; if they can't
+            # move, free the host copies (the loader keeps its own cache)
+            self._store.pop("images", None)
+            self._store.pop("labels", None)
+            if not keys or total > limit_bytes:
+                return False
+        self._dev = {
+            k: jax.device_put(self._store[k], repl_sharding) for k in keys
+        }
+        self._gather = jax.jit(
+            lambda cache, rows: {
+                k: jnp.take(v, rows, axis=0) for k, v in cache.items()
+            },
+            out_shardings={k: out_sharding for k in keys},
+        )
+        # free the host copies that moved (they can be GiB-scale)
+        for k in keys:
+            del self._store[k]
+        return True
+
     def lookup(self, sel) -> dict:
         """Batch lookup by global dataset indices -> dict of host arrays."""
         rows = [self._pos[int(i)] for i in sel]
         return {k: v[rows] for k, v in self._store.items()}
+
+    def lookup_device(self, sel) -> dict:
+        """On-device gather by global dataset indices.
+
+        Only the (len(sel),) int32 row vector is transferred; the batch
+        never exists host-side.
+        """
+        rows = jnp.asarray(
+            [self._pos[int(i)] for i in sel], jnp.int32
+        )
+        return self._gather(self._dev, rows)

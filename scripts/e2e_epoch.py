@@ -30,6 +30,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 N_IMAGES = int(os.environ.get("E2E_IMAGES", 4096))  # 80% -> 25 steps @ B=128
 BATCH = int(os.environ.get("E2E_BATCH", 128))
 EPOCHS = int(os.environ.get("E2E_EPOCHS", 3))
+# E2E_TCACHE=0: run the augmented train_transform pipeline (RandomResizedCrop
+# + RandAugment + RandomErasing, decode every epoch) with the live teacher —
+# the reference's exact training config; decode-bound on a 1-core host
+TCACHE = os.environ.get("E2E_TCACHE", "1") == "1"
 
 
 def build_dataset(root: str, n: int = N_IMAGES):
@@ -62,7 +66,7 @@ def main():
             pruning=PruningConfig(),
             train=TrainConfig(
                 batch_size=BATCH, epochs=EPOCHS, warmup_epochs=1,
-                teacher_cache=True, log_every_steps=10,
+                teacher_cache=TCACHE, log_every_steps=10,
             ),
             data=DataConfig(
                 imgnet_val_dir=root, num_workers=0,
@@ -92,7 +96,9 @@ def main():
         json.dumps(
             {
                 "metric": "end-to-end train img/s (real loader -> real "
-                f"chip, B={BATCH}, teacher-cache + uint8 cache)",
+                + f"chip, B={BATCH}, "
+                + ("teacher-cache + uint8 cache)" if TCACHE
+                   else "augmented pipeline + live teacher)"),
                 "value": steady,
                 "unit": "images/sec",
                 "extra": {"per_epoch": per_epoch, "cpu_count": os.cpu_count()},

@@ -133,6 +133,88 @@ def test_cache_build_and_lookup():
         cache2.build(outputs_fn, tparams, lambda: short_loader(), 2)
 
 
+def test_device_resident_cache_matches_host_lookup():
+    """to_device + lookup_device: on-device gather (incl. images/labels)
+    must return exactly the host lookup's rows; only the index vector
+    crosses the host->device link."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dense2sparse_vit_tpu.core.mesh import make_mesh
+
+    cfg, _, teacher, _, _, tparams, imgs, labels = _setup()
+    outputs_fn = make_teacher_outputs_fn(teacher, cfg)
+    indices = np.array([5, 11, 3, 42, 7, 9, 13, 21])
+    imgs_u8 = np.random.default_rng(0).integers(
+        0, 255, (len(indices),) + np.asarray(imgs).shape[1:], dtype=np.uint8
+    )
+    labels_np = np.arange(len(indices), dtype=np.int32)
+
+    def loader():
+        for b in range(0, len(indices), 4):
+            yield imgs_u8[b:b + 4], labels_np[b:b + 4], indices[b:b + 4]
+
+    cache = TeacherCache(indices)
+    cache.build(outputs_fn, tparams, lambda: loader(), 4, cache_images=True)
+    assert "images" in cache._store and "labels" in cache._store
+    # gathered batch length must divide the mesh's data axis (same
+    # constraint as the global train batch)
+    sel = [42, 9, 5, 13, 3, 21, 11, 7]
+    host_rows = cache.lookup(sel)
+
+    mesh = make_mesh()
+    ok = cache.to_device(
+        NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))
+    )
+    assert ok and cache.on_device and cache.device_has_images
+    # host copies of moved keys are freed
+    assert not cache._store
+
+    got = cache.lookup_device(sel)
+    assert set(got) == set(host_rows)
+    for k in host_rows:
+        np.testing.assert_array_equal(
+            np.asarray(got[k]), np.asarray(host_rows[k]), err_msg=k
+        )
+
+
+def test_to_device_over_limit_falls_back():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dense2sparse_vit_tpu.core.mesh import make_mesh
+
+    cfg, _, teacher, _, _, tparams, imgs, labels = _setup()
+    outputs_fn = make_teacher_outputs_fn(teacher, cfg)
+    indices = np.arange(1, 9)
+    imgs_u8 = np.zeros((8,) + np.asarray(imgs).shape[1:], np.uint8)
+
+    def loader():
+        yield imgs_u8, np.zeros(8, np.int32), indices
+
+    cache = TeacherCache(indices)
+    cache.build(outputs_fn, tparams, lambda: loader(), 8, cache_images=True)
+    teacher_bytes = sum(
+        v.nbytes for k, v in cache._store.items()
+        if k not in ("images", "labels")
+    )
+    mesh = make_mesh()
+    repl = NamedSharding(mesh, P())
+    dsh = NamedSharding(mesh, P("data"))
+
+    # limit below even the teacher rows: stays host, images dropped
+    assert not cache.to_device(repl, dsh, limit_bytes=1)
+    assert not cache.on_device
+    assert "images" not in cache._store and "labels" not in cache._store
+    assert cache.lookup([1, 2])  # teacher rows still served host-side
+
+    # limit that fits teacher rows but not images: partial residency
+    cache2 = TeacherCache(indices)
+    cache2.build(outputs_fn, tparams, lambda: loader(), 8, cache_images=True)
+    assert cache2.to_device(repl, dsh, limit_bytes=teacher_bytes + 8)
+    assert cache2.on_device and not cache2.device_has_images
+    got = cache2.lookup_device([3, 1, 2, 4, 5, 6, 7, 8])
+    assert "images" not in got and "logits" in got
+
+
 def test_loader_with_indices(tmp_path):
     from PIL import Image
 
