@@ -704,7 +704,7 @@ def fused_transformer_block_backward(
     scale: float | None = None,
     eps: float = 1e-6,
     ln_eps: float = 1e-6,
-    block_batch: int = 4,
+    block_batch: int | None = None,
     branch_scales=None,
     interpret: bool = False,
 ):
@@ -712,9 +712,10 @@ def fused_transformer_block_backward(
 
     Returns (dx, dparams, dpolicy) where dparams matches the
     fused_transformer_block params dict (fp32 grads) and dpolicy is None
-    in plain mode. block_batch defaults to 4 (not 8): the single-kernel
+    in plain mode. block_batch None auto-selects per N (the single-kernel
     backward keeps per-head scores AND the MLP intermediates live in VMEM
-    simultaneously.
+    simultaneously, so the optimum shrinks as N grows — see the measured
+    table in BENCHMARKS.md).
     """
     B, N, C = x.shape
     head_dim = C // num_heads
@@ -730,6 +731,12 @@ def fused_transformer_block_backward(
         x = jnp.pad(x, [(0, 0), (0, pad), (0, 0)])
         g = jnp.pad(g, [(0, 0), (0, pad), (0, 0)])
         pol = jnp.pad(pol, [(0, 0), (0, pad)])
+    if block_batch is None:
+        # measured on v5e (B=128, DeiT-S widths): nb=2 wins for N >= ~128
+        # (VMEM pressure from per-head scores dominates), nb=4 below it
+        # (grid-dispatch amortization dominates); nb=8 exceeds the VMEM
+        # limit at N=208
+        block_batch = 2 if Np >= 128 else 4
     nb = block_batch
     while B % nb:
         nb //= 2
