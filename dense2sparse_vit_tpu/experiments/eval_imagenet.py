@@ -172,14 +172,20 @@ def evaluate(
         print(f"loaded {len(loaded)} tensors, skipped {len(skipped)}")
 
     data_cfg = DataConfig(imgnet_val_dir=imgnet_val_dir)
-    ds = ImageFolder(imgnet_val_dir, eval_transform(data_cfg))
+    # uint8 to the chip (4x fewer host->device bytes); normalization is
+    # fused into the jitted step below
+    ds = ImageFolder(imgnet_val_dir, eval_transform(data_cfg, normalize=False))
     # full coverage: keep the tail batch (padded below), never drop images
     loader = make_loader(
-        ds, batch_size, drop_last=False, num_workers=num_workers
+        ds, batch_size, drop_last=False, num_workers=num_workers,
+        as_uint8=True,
     )
 
     @jax.jit
     def step(params, images, labels):
+        from dense2sparse_vit_tpu.data.pipeline import device_normalize
+
+        images = device_normalize(images, data_cfg)
         # label -1 marks padding -> contributes to neither count nor total
         valid = labels >= 0
         pruned = jnp.argmax(logits_fn(params, images), -1) == labels

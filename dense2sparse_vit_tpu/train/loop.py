@@ -111,7 +111,12 @@ def run_experiment(
             cfg.data.imgnet_val_dir,
             train_transform(cfg.data, seed=cfg.train.seed),
         )
-    ds_val = ImageFolder(cfg.data.imgnet_val_dir, eval_transform(cfg.data))
+    # val set decodes to uint8: batches ship at 1/4 the bytes (the jitted
+    # eval step normalizes on device), and the decoded-uint8 cache makes
+    # every eval after the first decode-free
+    ds_val = ImageFolder(
+        cfg.data.imgnet_val_dir, eval_transform(cfg.data, normalize=False)
+    )
     tr_idx, va_idx = split_train_val_indices(
         len(ds_train), 0.8, seed=cfg.train.seed
     )
@@ -142,6 +147,7 @@ def run_experiment(
     val_loader = make_loader(
         ds_val, val_bs, indices=va_idx, drop_last=False,
         num_workers=cfg.data.num_workers,
+        as_uint8=True, cache_decoded=True,
     )
     steps_per_epoch = max(len(tr_idx_local) // local_bs, 1)
     if max_steps_per_epoch:
@@ -300,6 +306,15 @@ def run_experiment(
                 teacher_in,
             )
 
+    # device-retained val batches: the FIRST eval's device_put arrays are
+    # simply kept and re-fed on later evals (single host, byte-capped) —
+    # repeat evals then ship zero bytes over the host link and skip the
+    # loader entirely (the decoded-uint8 cache already skips decode)
+    val_dev_batches: list = []
+    val_dev_ok = nproc == 1
+    viz_panel = None
+    VAL_DEV_LIMIT = 3 << 30
+
     for epoch in range(start_epoch, cfg.train.epochs):
         t0 = time.time()
         # running means across the epoch (reference losses.py:111-117,
@@ -344,20 +359,41 @@ def run_experiment(
         # eval (evaluate_performance parity); tail batch padded with
         # label -1 so coverage is exact — aggregation weights by n_valid
         agg, total_valid = {}, 0.0
-        viz_batch = None
-        for xb, yb in val_loader():
-            if len(yb) < val_bs:
-                pad = val_bs - len(yb)
-                xb = np.concatenate([xb, np.repeat(xb[:1], pad, axis=0)])
-                yb = np.concatenate([yb, np.full((pad,), -1, yb.dtype)])
-            if viz_batch is None:
-                # host copy, captured before device placement (global arrays
-                # are not host-addressable under multi-host)
-                viz_batch = (np.asarray(xb[:16]), np.asarray(yb[:16]))
-            xb = put_global_batch_from_full(img_sh, xb)
-            yb = put_global_batch_from_full(data_sh, yb)
+
+        def _loader_eval_batches():
+            nonlocal viz_panel, val_dev_ok
+            nbytes = 0
+            for xb, yb in val_loader():
+                if len(yb) < val_bs:
+                    pad = val_bs - len(yb)
+                    xb = np.concatenate(
+                        [xb, np.repeat(xb[:1], pad, axis=0)]
+                    )
+                    yb = np.concatenate(
+                        [yb, np.full((pad,), -1, yb.dtype)]
+                    )
+                if viz_panel is None:
+                    # host copy, captured before device placement (global
+                    # arrays are not host-addressable under multi-host)
+                    viz_panel = (np.asarray(xb[:16]), np.asarray(yb[:16]))
+                xbd = put_global_batch_from_full(img_sh, xb)
+                ybd = put_global_batch_from_full(data_sh, yb)
+                if val_dev_ok:
+                    nbytes += xbd.nbytes + ybd.nbytes
+                    if nbytes <= VAL_DEV_LIMIT:
+                        val_dev_batches.append((xbd, ybd))
+                    else:
+                        val_dev_batches.clear()
+                        val_dev_ok = False
+                yield xbd, ybd
+
+        eval_iter = (
+            iter(val_dev_batches) if val_dev_batches
+            else _loader_eval_batches()
+        )
+        for xbd, ybd in eval_iter:
             m = eval_step(
-                state.params, state.batch_stats, teacher_params, xb, yb
+                state.params, state.batch_stats, teacher_params, xbd, ybd
             )
             w = float(m.pop("n_valid"))
             for k, v in m.items():
@@ -374,17 +410,22 @@ def run_experiment(
         # visualization hook on a fixed panel (mask_predictor.py:272-282)
         if (
             cfg.visualize_patch_drop or cfg.visualize_cls_attn_evo
-        ) and viz_batch is not None and epoch % viz_every == 0 and is_primary():
+        ) and viz_panel is not None and epoch % viz_every == 0 and is_primary():
             # host-local forward: params are replicated, so host 0's copy is
             # the global value (multi-host-safe; viz never touches the mesh)
             host_vars = {"params": jax.device_get(state.params)}
             if state.batch_stats:
                 host_vars["batch_stats"] = jax.device_get(state.batch_stats)
-            out = student.apply(host_vars, viz_batch[0][:16])
+            # val batches are raw uint8 now; the model and the viz renderer
+            # both expect the normalized view
+            from dense2sparse_vit_tpu.data.pipeline import _normalize
+
+            viz_imgs = _normalize(np.asarray(viz_panel[0][:16]), cfg.data)
+            out = student.apply(host_vars, viz_imgs)
             epoch_visualize(
-                np.asarray(viz_batch[0][:16]), jax.device_get(out),
+                np.asarray(viz_imgs), jax.device_get(out),
                 cfg.model.num_patches, f"{workdir}/viz", epoch,
-                labels=np.asarray(viz_batch[1][:16]),
+                labels=np.asarray(viz_panel[1][:16]),
                 patch_size=cfg.model.patch_size,
                 visualize_patch_drop=cfg.visualize_patch_drop,
                 visualize_cls_attn_evo=cfg.visualize_cls_attn_evo,
