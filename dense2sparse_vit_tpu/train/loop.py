@@ -446,7 +446,17 @@ def run_experiment(
             prefix="time",
         )
 
-    summary = {"best_val_acc": best_acc, "epochs": cfg.train.epochs}
+    summary = {
+        "best_val_acc": best_acc,
+        "epochs": cfg.train.epochs,
+        # observability for the device-resident fast paths (BENCHMARKS
+        # "end-to-end epoch"): >0 means later evals re-fed retained
+        # device batches / train epochs gathered on-chip
+        "val_dev_batches": len(val_dev_batches),
+        "train_device_resident": bool(
+            use_tcache and tcache is not None and tcache.device_has_images
+        ),
+    }
     logger.summary(summary)
     logger.close()
     ckpt.close()

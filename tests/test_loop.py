@@ -49,6 +49,8 @@ class TestRunExperiment:
         )
         summary = run_experiment(cfg, str(tmp_path), max_steps_per_epoch=2)
         assert summary["epochs"] == 2
+        # epoch 2's eval re-fed the device batches retained from epoch 1
+        assert summary["val_dev_batches"] > 0
         # artifacts: metrics log, summary, checkpoint, viz panel
         assert os.path.exists(tmp_path / "metrics.jsonl")
         lines = [
@@ -100,6 +102,8 @@ class TestRunExperiment:
         )
         summary = run_experiment(cfg, str(tmp_path), max_steps_per_epoch=3)
         assert summary["epochs"] == 1
+        # single-host: the teacher cache (incl. images) went device-resident
+        assert summary["train_device_resident"]
         lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
         losses = [l["train/loss"] for l in lines if "train/loss" in l]
         assert losses and np.isfinite(losses).all()
