@@ -56,6 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native extension: precompute frozen-teacher outputs once, skip its
     # forward every step (train/teacher_cache.py); needs mixup disabled
     p.add_argument("--teacher-cache", action="store_true", default=False)
+    # HBM budget for the device-resident cache (teacher rows + images);
+    # degrades gracefully when over budget
+    p.add_argument("--device-cache-gb", default=6.0, type=float)
     p.add_argument("--cls-weight", default=1.0, type=float)
     p.add_argument("--topk-selection", action="store_true", default=False)
     p.add_argument("--mean-heads", action="store_true", default=False)
@@ -155,6 +158,7 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
         cls_weight=args.cls_weight,
         teacher_cls_loss=args.teacher_cls_loss,
         teacher_cache=args.teacher_cache,
+        device_cache_gb=args.device_cache_gb,
     )
     data = DataConfig(
         imgnet_val_dir=args.imgnet_val_dir,

@@ -189,6 +189,10 @@ class TrainConfig:
     # forward in every train step. Requires mixup off and deterministic
     # train views — run_experiment enforces both (train/teacher_cache.py)
     teacher_cache: bool = False
+    # HBM budget for the device-resident cache (teacher rows + decoded
+    # uint8 images + labels); over budget it degrades gracefully to
+    # teacher-rows-only, then to host-side rows (train/teacher_cache.py)
+    device_cache_gb: float = 6.0
     seed: int = 42
 
     def replace(self, **kw) -> "TrainConfig":

@@ -194,7 +194,10 @@ def run_experiment(
         )
         mib = tcache.nbytes / 2**20
         if nproc == 1:
-            tcache.to_device(repl, data_sh)
+            tcache.to_device(
+                repl, data_sh,
+                limit_bytes=int(cfg.train.device_cache_gb * 2**30),
+            )
         if is_primary():
             where = (
                 "device-resident (incl. images)"
