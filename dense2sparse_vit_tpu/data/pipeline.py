@@ -210,6 +210,7 @@ def make_loader(
     cache_decoded: bool = False,
     with_indices: bool = False,
     as_uint8: bool = False,
+    shared_cache: Optional[dict] = None,
 ) -> Callable[[], Iterator[Tuple[np.ndarray, np.ndarray]]]:
     """Batch iterator factory with parallel decode and prefetch.
 
@@ -238,6 +239,10 @@ def make_loader(
       as_uint8: yield raw uint8 batches (requires a uint8 transform);
         normalization happens on DEVICE inside the jitted step
         (device_normalize) — 4x fewer host->device bytes.
+      shared_cache: pass the same dict to several make_loader calls over
+        the SAME indices to share one decoded-uint8 store between them
+        (e.g. the teacher-cache pre-pass and the epoch loader — the shard
+        is then decoded exactly once).
     """
     idx = np.asarray(indices if indices is not None else np.arange(len(dataset)))
 
@@ -250,17 +255,21 @@ def make_loader(
                 "(eval_transform(cfg, normalize=False))"
             )
 
-    cache: dict = {}
-    if cache_decoded:
+    cache: dict = shared_cache if shared_cache is not None else {}
+    if cache_decoded and "store" not in cache:
         probe = dataset[int(idx[0])][0]
         if probe.dtype != np.uint8:
             raise ValueError(
                 "cache_decoded requires a uint8 transform "
                 "(eval_transform(cfg, normalize=False))"
             )
-        cache["store"] = np.empty((len(dataset),) + probe.shape, np.uint8)
-        cache["filled"] = np.zeros(len(dataset), bool)
-        cache["labels"] = np.empty(len(dataset), np.int32)
+        # store sized by the index SUBSET (the 80/20 split would otherwise
+        # allocate 2x what this loader can ever touch), remapped through a
+        # global-index -> row dict
+        cache["pos"] = {int(i): r for r, i in enumerate(idx)}
+        cache["store"] = np.empty((len(idx),) + probe.shape, np.uint8)
+        cache["filled"] = np.zeros(len(idx), bool)
+        cache["labels"] = np.empty(len(idx), np.int32)
 
     pool = None
     if num_workers > 0:
@@ -288,11 +297,13 @@ def make_loader(
 
     def load_cached(sel):
         store, filled, lab = cache["store"], cache["filled"], cache["labels"]
-        missing = [int(i) for i in sel if not filled[i]]
-        for i in missing:
-            x, y = dataset[i]
-            store[i], lab[i], filled[i] = x, y, True
-        return store[sel], lab[sel]
+        pos = cache["pos"]
+        rows = [pos[int(i)] for i in sel]
+        for i, r in zip(sel, rows):
+            if not filled[r]:
+                x, y = dataset[int(i)]
+                store[r], lab[r], filled[r] = x, y, True
+        return store[rows], lab[rows]
 
     def epoch_iter():
         order = idx.copy()

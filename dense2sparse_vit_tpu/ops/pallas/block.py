@@ -26,13 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from dense2sparse_vit_tpu.ops.pallas.mlp import _gelu_grad
 from dense2sparse_vit_tpu.ops.pallas.predictor import _gelu_exact
-
-
-def _gelu_grad(y32):
-    from dense2sparse_vit_tpu.ops.pallas.mlp import _gelu_grad as gg
-
-    return gg(y32)
 
 
 def _round_up(x: int, m: int) -> int:

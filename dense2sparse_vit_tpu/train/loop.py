@@ -131,12 +131,23 @@ def run_experiment(
         )
     local_bs = cfg.train.batch_size // nproc
     tr_idx_local = process_local_indices(tr_idx)
-    train_loader = make_loader(
-        ds_train, local_bs, shuffle=True, seed=cfg.train.seed,
-        indices=tr_idx_local, num_workers=cfg.data.num_workers,
-        with_indices=use_tcache, cache_decoded=use_tcache,
-        as_uint8=use_tcache,
-    )
+    # decoded-uint8 store shared between the teacher-cache pre-pass and
+    # the epoch loader — the train shard is JPEG-decoded exactly once.
+    # The loader itself is built lazily: the device-resident fast path
+    # (below) never iterates it (and must not pay its pool/probe cost).
+    train_decoded: dict = {}
+    _train_loader_holder: list = []
+
+    def get_train_loader():
+        if not _train_loader_holder:
+            _train_loader_holder.append(make_loader(
+                ds_train, local_bs, shuffle=True, seed=cfg.train.seed,
+                indices=tr_idx_local, num_workers=cfg.data.num_workers,
+                with_indices=use_tcache, cache_decoded=use_tcache,
+                as_uint8=use_tcache,
+                shared_cache=train_decoded if use_tcache else None,
+            ))
+        return _train_loader_holder[0]
     # val batch: largest multiple of the mesh data-axis size that fits —
     # static shapes require full batches, but tiny val sets must still eval
     mesh_n = mesh.shape["data"]
@@ -180,24 +191,25 @@ def run_experiment(
         build_loader = make_loader(
             ds_train, local_bs, indices=tr_idx_local, drop_last=False,
             num_workers=cfg.data.num_workers, with_indices=True,
-            as_uint8=True,
+            as_uint8=True, cache_decoded=True, shared_cache=train_decoded,
         )
         tcache = TeacherCache(tr_idx_local)
         t_build0 = time.time()
         # single-host: also cache the decoded uint8 images/labels so the
         # whole epoch can become device-resident (below) — per step, only
-        # the (B,) index vector then crosses the host->device link
+        # the (B,) index vector then crosses the host->device link.
+        # Skip the host-side image copy upfront when it provably cannot
+        # fit the HBM budget (to_device re-checks with exact byte counts).
+        dev_limit = int(cfg.train.device_cache_gb * 2**30)
+        est_img_bytes = len(tr_idx_local) * cfg.model.img_size ** 2 * 3
         tcache.build(
             make_teacher_outputs_fn(teacher, cfg),
             teacher_params, build_loader, local_bs,
-            cache_images=(nproc == 1),
+            cache_images=(nproc == 1 and est_img_bytes < dev_limit),
         )
         mib = tcache.nbytes / 2**20
         if nproc == 1:
-            tcache.to_device(
-                repl, data_sh,
-                limit_bytes=int(cfg.train.device_cache_gb * 2**30),
-            )
+            tcache.to_device(repl, data_sh, limit_bytes=dev_limit)
         if is_primary():
             where = (
                 "device-resident (incl. images)"
@@ -285,10 +297,12 @@ def run_experiment(
             np.random.default_rng(cfg.train.seed + epoch).shuffle(order)
             for b in range(steps_per_epoch):
                 sel = order[b * local_bs:(b + 1) * local_bs]
+                if len(sel) < local_bs:
+                    break  # drop-last semantics, same as the loader path
                 got = tcache.lookup_device(sel)
                 yield got.pop("images"), got.pop("labels"), got
             return
-        for step_i, item in enumerate(train_loader()):
+        for step_i, item in enumerate(get_train_loader()()):
             if step_i >= steps_per_epoch:
                 break
             if use_tcache:
@@ -312,11 +326,14 @@ def run_experiment(
     # device-retained val batches: the FIRST eval's device_put arrays are
     # simply kept and re-fed on later evals (single host, byte-capped) —
     # repeat evals then ship zero bytes over the host link and skip the
-    # loader entirely (the decoded-uint8 cache already skips decode)
+    # loader entirely (the decoded-uint8 cache already skips decode).
+    # Budget: whatever --device-cache-gb leaves after the train cache.
     val_dev_batches: list = []
-    val_dev_ok = nproc == 1
+    VAL_DEV_LIMIT = int(cfg.train.device_cache_gb * 2**30) - (
+        tcache.device_nbytes if tcache is not None else 0
+    )
+    val_dev_ok = nproc == 1 and VAL_DEV_LIMIT > 0
     viz_panel = None
-    VAL_DEV_LIMIT = 3 << 30
 
     for epoch in range(start_epoch, cfg.train.epochs):
         t0 = time.time()

@@ -32,9 +32,6 @@ import jax.numpy as jnp
 
 from dense2sparse_vit_tpu.losses.mask_loss import aggregate_teacher_cls_attn
 
-_BF16 = jnp.bfloat16.dtype  # numpy-compatible ml_dtypes.bfloat16
-
-
 def make_teacher_outputs_fn(teacher, cfg):
     """Jittable (teacher_params, images) -> dict of cacheable outputs.
 
@@ -44,6 +41,12 @@ def make_teacher_outputs_fn(teacher, cfg):
     (cfg.pruning.cls_from_teacher).
     """
     need_stack = cfg.pruning.cls_from_teacher
+    # storage dtype follows the model: bf16 runs cache bf16 rows (what
+    # the step consumes anyway), fp32 runs keep fp32 supervision so the
+    # cache switch is semantics-preserving, not a silent quantization
+    store_dt = (
+        jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
+    )
 
     def fn(teacher_params, images):
         if images.dtype == jnp.uint8:
@@ -54,15 +57,15 @@ def make_teacher_outputs_fn(teacher, cfg):
             {"params": teacher_params}, images, deterministic=True
         )
         out = {
-            "logits": t_logits.astype(jnp.bfloat16),
-            "tokens": t_tokens.astype(jnp.bfloat16),
+            "logits": t_logits.astype(store_dt),
+            "tokens": t_tokens.astype(store_dt),
         }
         if need_stack:
-            out["attns"] = t_attns.astype(jnp.bfloat16)
+            out["attns"] = t_attns.astype(store_dt)
         else:
             out["target"] = aggregate_teacher_cls_attn(
                 t_attns, cfg.pruning.mean_heads
-            ).astype(jnp.bfloat16)
+            ).astype(store_dt)
         return out
 
     return fn
@@ -72,8 +75,9 @@ class TeacherCache:
     """Host-side store of teacher outputs for this process's train shard.
 
     Rows are keyed by GLOBAL dataset index (multi-host: each process caches
-    only its own loader shard). Arrays are bf16 numpy (ml_dtypes), converted
-    on lookup by device_put — no fp32 copy is ever materialized host-side.
+    only its own loader shard). Teacher rows are stored in the model's
+    supervision dtype (bf16 for bf16 runs, fp32 otherwise — see
+    make_teacher_outputs_fn); no extra copy is materialized on lookup.
     """
 
     def __init__(self, indices):
@@ -114,9 +118,10 @@ class TeacherCache:
             for key, arr in out.items():
                 store = self._store.get(key)
                 if store is None:
+                    # dtype follows what outputs_fn emitted (bf16 or fp32
+                    # per the model dtype); images/labels keep theirs
                     store = np.empty(
-                        (len(self._pos),) + arr.shape[1:],
-                        arr.dtype if key in ("images", "labels") else _BF16,
+                        (len(self._pos),) + arr.shape[1:], arr.dtype
                     )
                     self._store[key] = store
                 store[rows] = arr[:n]
@@ -134,6 +139,13 @@ class TeacherCache:
     @property
     def on_device(self) -> bool:
         return self._dev is not None
+
+    @property
+    def device_nbytes(self) -> int:
+        """Bytes pinned in HBM by to_device (0 when host-side)."""
+        if self._dev is None:
+            return 0
+        return sum(int(a.nbytes) for a in self._dev.values())
 
     @property
     def device_has_images(self) -> bool:

@@ -84,7 +84,12 @@ def test_outputs_fn_keys():
     assert set(out) == {"logits", "tokens", "target"}
     n_patches = (16 // 4) ** 2
     assert out["target"].shape == (B, n_patches)
-    assert out["logits"].dtype == jnp.bfloat16
+    # storage dtype follows the model: fp32 models keep fp32 supervision
+    # (the cache switch must not silently quantize the objective)
+    want_dt = (
+        jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
+    )
+    assert out["logits"].dtype == want_dt
 
     cfg2, _, teacher2, _, _, tp2, imgs2, _ = _setup(
         PR.replace(cls_from_teacher=True)
@@ -114,13 +119,18 @@ def test_cache_build_and_lookup():
     assert cache.nbytes > 0
 
     # lookup in shuffled order must return each sample's own rows
+    # (allclose, not equal: the cache was built at batch 2, the reference
+    # in one batch — fp32 storage keeps the reduction-order noise that
+    # bf16 storage used to round away)
     got = cache.lookup([42, 5])
     ref = jax.jit(outputs_fn)(tparams, imgs)
-    np.testing.assert_array_equal(
-        np.asarray(got["logits"][1]), np.asarray(ref["logits"][0])
+    np.testing.assert_allclose(
+        np.asarray(got["logits"][1], np.float32),
+        np.asarray(ref["logits"][0], np.float32), rtol=1e-5, atol=1e-6,
     )
-    np.testing.assert_array_equal(
-        np.asarray(got["logits"][0]), np.asarray(ref["logits"][3])
+    np.testing.assert_allclose(
+        np.asarray(got["logits"][0], np.float32),
+        np.asarray(ref["logits"][3], np.float32), rtol=1e-5, atol=1e-6,
     )
 
     # unfilled coverage must raise, not silently train on garbage
