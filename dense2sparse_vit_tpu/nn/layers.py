@@ -284,6 +284,15 @@ class Block(nn.Module):
                     ln_eps=self.layer_norm_eps, return_cls=True,
                 )
                 return x, cls_attn
+            if deterministic:
+                # inference fast path: clip-softmax kernel, no custom-VJP
+                # machinery (exact row-max softmax is reserved for the
+                # trainable/backward paths — r2 ADVICE). Exact only while
+                # |scaled logits| <= 30; one ulp at bf16 in practice.
+                return fused_transformer_block(
+                    x, pd, self.num_heads, pol, scale=sc,
+                    ln_eps=self.layer_norm_eps,
+                )
             return fused_transformer_block_trainable(
                 x, pd, self.num_heads, pol, sc, self.layer_norm_eps,
                 branch_scales,
