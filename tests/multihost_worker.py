@@ -114,4 +114,43 @@ xb2 = put_global_batch_from_full(img_sh, xb_full)
 for sh in xb2.addressable_shards:
     np.testing.assert_allclose(np.asarray(sh.data), xb_full[sh.index])
 
-print(json.dumps({"pid": pid, "losses": losses}), flush=True)
+# cached-teacher HOST-ROW branch under multi-host (the device-resident
+# fast path is single-host only): each process caches ONLY its own index
+# shard, looks rows up host-side, and assembles the global teacher batch
+# with put_global_batch — loop.py's nproc>1 teacher-cache configuration
+from dense2sparse_vit_tpu.train.teacher_cache import (  # noqa: E402
+    TeacherCache,
+    make_teacher_outputs_fn,
+)
+
+local_idx = np.arange(pid * local, (pid + 1) * local)
+xb_local = xb_full[local_idx]
+
+
+def _cache_loader():
+    yield xb_local, yb_full[local_idx].astype(np.int32), local_idx
+
+
+tcache = TeacherCache(local_idx)
+tcache.build(
+    make_teacher_outputs_fn(teacher, cfg),
+    jax.device_get(tparams), lambda: _cache_loader(), local,
+)
+teacher_in = {
+    k: put_global_batch(lbl_sh, v)
+    for k, v in tcache.lookup(local_idx).items()
+}
+cached_step = jax.jit(
+    make_train_step(student, teacher, tx, cfg, cached_teacher=True),
+    donate_argnums=(0,),
+)
+state, metrics = cached_step(
+    state, teacher_in, xb, yb, jax.random.PRNGKey(4), jnp.float32(1.0)
+)
+cached_loss = float(metrics["loss"])
+assert np.isfinite(cached_loss)
+
+print(
+    json.dumps({"pid": pid, "losses": losses, "cached_loss": cached_loss}),
+    flush=True,
+)

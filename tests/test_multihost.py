@@ -49,6 +49,10 @@ def test_two_process_train_step_matches_single_process():
     l0, l1 = outs[0]["losses"], outs[1]["losses"]
     # replicated metrics: every host reads the same global loss
     np.testing.assert_allclose(l0, l1, rtol=1e-6)
+    # cached-teacher host-row branch: both hosts agree and it's finite
+    np.testing.assert_allclose(
+        outs[0]["cached_loss"], outs[1]["cached_loss"], rtol=1e-6
+    )
 
     # single-process reference on the in-process 8-device CPU mesh
     # (conftest forces xla_force_host_platform_device_count=8)
