@@ -178,6 +178,67 @@ class TestBlockDropPathFusedPath:
         assert all(bool(jnp.all(jnp.isfinite(leaf))) for leaf in flat)
         assert any(float(jnp.abs(leaf).max()) > 0 for leaf in flat)
 
+    def test_t2t_from_scratch_recipe_trains_fused(self):
+        """Model-level pin: a T2T backbone with drop_path_rate > 0 (the
+        from-scratch recipe every T2T factory exposes) trains through the
+        fused whole-block kernels."""
+        from dense2sparse_vit_tpu.core.config import ModelConfig
+        from dense2sparse_vit_tpu.models.t2t import T2TViT
+
+        cfg = ModelConfig(
+            img_size=32, patch_size=8, embed_dim=32, depth=2, num_heads=2,
+            num_classes=5, drop_path_rate=0.3, use_fused_attention=True,
+            mlp_ratio=1.0,
+        )
+        model = T2TViT(cfg=cfg, tokens_type="transformer", token_dim=16)
+        x = jax.random.normal(jax.random.PRNGKey(110), (4, 32, 32, 3))
+
+        calls = []
+        orig = BLK.fused_transformer_block
+
+        def spy(*a, **kw):
+            calls.append(1)
+            return orig(*a, **kw, interpret=True)
+
+        patches = [
+            (BLK, "fused_transformer_block", spy),
+            (BLK, "fused_transformer_block_backward",
+             functools.partial(
+                 BLK.fused_transformer_block_backward, interpret=True)),
+            (A, "fused_attention_packed",
+             functools.partial(A.fused_attention_packed, interpret=True)),
+        ]
+        saved = [(mod, name, getattr(mod, name)) for mod, name, _ in patches]
+        for mod, name, repl in patches:
+            setattr(mod, name, repl)
+        try:
+            variables = model.init(
+                {
+                    "params": jax.random.PRNGKey(111),
+                    "dropout": jax.random.PRNGKey(112),
+                },
+                x,
+            )
+
+            def loss(params, rng):
+                out = model.apply(
+                    {"params": params}, x, deterministic=False,
+                    rngs={"dropout": rng},
+                )
+                logits = out[0] if isinstance(out, (tuple, list)) else out
+                return jnp.sum(jnp.asarray(logits) ** 2) / 1000.0
+
+            grads = jax.grad(loss)(
+                variables["params"], jax.random.PRNGKey(113)
+            )
+        finally:
+            for mod, name, orig_fn in saved:
+                setattr(mod, name, orig_fn)
+
+        assert calls, "T2T drop_path training did not take the fused path"
+        flat = jax.tree.leaves(grads)
+        assert all(bool(jnp.all(jnp.isfinite(leaf))) for leaf in flat)
+
 
 class TestBlockTrainableVJP:
     """Direct VJP equivalence of fused_transformer_block_trainable — the
