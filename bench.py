@@ -8,16 +8,24 @@ Prints ONE JSON line:
 Timing method: the axon relay's block_until_ready does not actually block, so
 each measurement chains ITERS forwards inside one jit via lax.scan (each
 iteration data-depends on the previous) and forces a scalar host readback.
+
+Outage resilience: the axon tunnel has two observed failure modes — fast
+``UNAVAILABLE`` RuntimeErrors (often transient) and indefinite hangs on the
+first backend query (multi-hour relay outages; both hit at round-3 capture
+time). The parent process therefore never initializes JAX: it probes the
+backend in a time-bounded subprocess, runs the measurement in a watched
+subprocess with bounded retries, and on persistent failure emits a
+structured {"error": ...} JSON line (rc 0) instead of a traceback, so the
+recorded artifact is interpretable either way.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
-
-import jax
-import jax.numpy as jnp
 
 BATCH = 256
 ITERS = 50  # the axon relay costs ~24 ms per host readback; 50 chained
@@ -27,6 +35,9 @@ REPEATS = 3
 
 
 def chained(apply_fn, iters=ITERS):
+    import jax
+    import jax.numpy as jnp
+
     @jax.jit
     def run(params, x):
         def body(carry, _):
@@ -50,6 +61,9 @@ def time_fn(run, params, x):
 
 
 def main():
+    import jax
+    import jax.numpy as jnp
+
     from dense2sparse_vit_tpu.models import create_model
 
     student = create_model(
@@ -150,6 +164,102 @@ def main():
     )
 
 
+_CHILD_MARK = "_D2S_BENCH_CHILD"
+
+# knobs overridable from the environment (used by tests to bound runtimes)
+PROBE_TIMEOUT = int(os.environ.get("D2S_BENCH_PROBE_TIMEOUT", "120"))
+RUN_TIMEOUT = int(os.environ.get("D2S_BENCH_RUN_TIMEOUT", "1500"))
+ATTEMPTS = int(os.environ.get("D2S_BENCH_ATTEMPTS", "3"))
+RETRY_SLEEP = int(os.environ.get("D2S_BENCH_RETRY_SLEEP", "30"))
+# worst case when the tunnel is fully down: 3 x 120s probes + 2 x 30s sleeps
+# = 7 min, inside the driver's observed ~10 min artifact budget
+
+_PROBE_CODE = (
+    "import jax, jax.numpy as jnp;"
+    "print(jax.devices());"
+    "print('PROBE_OK', float(jnp.ones((128, 128)).sum()))"
+)
+
+
+def _probe_backend(timeout: int) -> tuple[bool, str]:
+    """Run a tiny op on the ambient backend in a time-bounded subprocess."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE_CODE],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"probe hang (> {timeout}s): relay not responding"
+    if r.returncode != 0 or "PROBE_OK" not in r.stdout:
+        tail = (r.stderr or r.stdout).strip().splitlines()[-1:]
+        return False, f"probe rc={r.returncode}: {' '.join(tail)[:300]}"
+    return True, "ok"
+
+
+def _run_child(timeout: int) -> tuple[dict | None, str]:
+    """Run the measurement in a watched subprocess; return (json, reason)."""
+    env = dict(os.environ)
+    env[_CHILD_MARK] = "1"
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+            env=env,
+        )
+    except subprocess.TimeoutExpired:
+        return None, f"bench hang (> {timeout}s)"
+    for line in reversed(r.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line), "ok"
+            except json.JSONDecodeError:
+                break
+    tail = (r.stderr or r.stdout).strip().splitlines()[-1:]
+    return None, f"bench rc={r.returncode}: {' '.join(tail)[:300]}"
+
+
+def _parent_main() -> int:
+    """Probe → run → retry loop; always exits 0 with ONE JSON line."""
+    failures: list[str] = []
+    for attempt in range(ATTEMPTS):
+        if attempt:
+            time.sleep(RETRY_SLEEP)
+        ok, reason = _probe_backend(PROBE_TIMEOUT)
+        if not ok:
+            failures.append(f"attempt {attempt + 1}: {reason}")
+            continue
+        result, reason = _run_child(RUN_TIMEOUT)
+        if result is not None:
+            print(json.dumps(result))
+            return 0
+        failures.append(f"attempt {attempt + 1}: {reason}")
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "images/sec/chip (DeiT-S diff-pruning student, "
+                    "keep 0.7/0.49/0.343 @ layers 3/6/9, --small-predictor "
+                    "head, 224px, bf16)"
+                ),
+                "value": None,
+                "unit": "images/sec/chip",
+                "vs_baseline": None,
+                "error": "axon TPU backend unavailable (tunnel outage)",
+                "attempts": failures,
+            }
+        )
+    )
+    return 0
+
+
 if __name__ == "__main__":
-    sys.path.insert(0, ".")
-    main()
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if os.environ.get(_CHILD_MARK) == "1":
+        main()
+    else:
+        sys.exit(_parent_main())
