@@ -55,11 +55,30 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--teacher-cls-loss", action="store_true", default=False)
     # TPU-native extension: precompute frozen-teacher outputs once, skip its
     # forward every step (train/teacher_cache.py); needs mixup disabled
-    p.add_argument("--teacher-cache", action="store_true", default=False)
+    p.add_argument(
+        "--teacher-cache", action="store_true", default=False,
+        help="precompute frozen-teacher outputs once and skip its forward "
+        "every step (~24%% step-time saving). TRADE-OFF: requires a "
+        "deterministic per-sample teacher input, so training switches to "
+        "the eval view — NO RandomResizedCrop/flip/RandAugment/"
+        "RandomErasing (and mixup/cutmix must be disabled). The trained "
+        "recipe is materially weaker-regularized than the reference's; "
+        "use for throughput work, not for accuracy-parity runs",
+    )
     # HBM budget for the device-resident cache (teacher rows + images);
     # degrades gracefully when over budget
     p.add_argument("--device-cache-gb", default=6.0, type=float)
     p.add_argument("--cls-weight", default=1.0, type=float)
+    # trains the DynamicViT-paper baseline student (gumbel-softmax keep
+    # policy, reference default_dynamic_vit.py:435-487) with the
+    # DynamicViT distill loss consuming --cls-weight/--use-ratio-loss/
+    # --ratio-weight/--use-token-dist-loss/--dist-weight/--softmax-temp/
+    # --teacher-cls-loss
+    p.add_argument(
+        "--dynamic-vit-baseline", action="store_true", default=False,
+        help="train the DynamicViT-paper gumbel baseline student instead "
+        "of the diff-pruning student",
+    )
     p.add_argument("--topk-selection", action="store_true", default=False)
     p.add_argument("--mean-heads", action="store_true", default=False)
     p.add_argument("--random-drop", action="store_true", default=False)
@@ -92,6 +111,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mixup-switch-prob", type=float, default=0.5)
     p.add_argument("--mixup-mode", type=str, default="batch")
     # TPU-native extras (no reference counterpart)
+    # small-scale/debug geometry (role of the reference's hard-coded debug
+    # overrides, mask_predictor.py:134-158, made explicit):
+    p.add_argument("--img-size", default=224, type=int)
+    p.add_argument("--num-classes", default=1000, type=int)
+    p.add_argument("--eval-resize", default=256, type=int)
+    p.add_argument("--eval-crop", default=224, type=int)
     p.add_argument("--use-fused-attention", action="store_true", default=False)
     p.add_argument("--dtype", type=str, default="float32")
     p.add_argument("--workdir", type=str, default="runs/latest")
@@ -113,11 +138,17 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
     if args.arch not in sizes:
         raise ValueError(f"unknown arch {args.arch!r}; options {sorted(sizes)}")
     model = sizes[args.arch](
+        img_size=args.img_size,
         patch_size=args.patch_size,
+        num_classes=args.num_classes,
         dtype=args.dtype,
         use_fused_attention=args.use_fused_attention,
     )
-    if args.attn_selection:
+    if args.dynamic_vit_baseline:
+        # DynamicViT-paper baseline: gumbel-softmax keep policy in training,
+        # static-K hard gather at eval (default_dynamic_vit.py:449-468)
+        selection = "gumbel"
+    elif args.attn_selection:
         selection = "attn"
     elif args.random_drop:
         selection = "random"
@@ -126,7 +157,7 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
     else:
         # the reference's non-topk default prints "gumbel softmax"
         # (dynamic_vit.py:675); the gumbel family lives in the
-        # DynamicViT-default student
+        # DynamicViT-default student (--dynamic-vit-baseline)
         selection = "topk"
     pruning = PruningConfig(
         pruning_locs=tuple(args.pruning_locs),
@@ -162,6 +193,9 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
     )
     data = DataConfig(
         imgnet_val_dir=args.imgnet_val_dir,
+        num_classes=args.num_classes,
+        eval_resize=args.eval_resize,
+        eval_crop=args.eval_crop,
         color_jitter=args.color_jitter,
         auto_augment=args.aa,
         smoothing=args.smoothing,

@@ -7,4 +7,5 @@ from dense2sparse_vit_tpu.losses.distill import (  # noqa: F401
     dynamic_vit_distill_loss,
     kd_loss,
     keep_ratio_loss,
+    predictor_bce_vs_teacher,
 )

@@ -50,17 +50,22 @@ def dynamic_vit_distill_loss(
     use_ratio_loss: bool = True,
     use_token_dist_loss: bool = True,
     mixup_active: bool = False,
+    temperature: float = 1.0,
 ) -> Tuple[jnp.ndarray, dict]:
     """DynamicViT training loss for the gumbel-policy student.
 
     The reference wires this through the (dead) `DistillDiffPruningLoss`
     symbol (ddp_training.py:81 — never defined in losses.py); the loss
     surface is defined by the flags --cls-weight / --use-ratio-loss /
-    --ratio-weight / --use-token-dist-loss / --dist-weight
-    (utils.py:232-244), matching the DynamicViT paper recipe:
-      cls_weight * CE + KL(student || teacher logits)
+    --ratio-weight / --use-token-dist-loss / --dist-weight / --softmax-temp
+    (utils.py:228-244), matching the DynamicViT paper recipe:
+      cls_weight * CE + KL_T(student || teacher logits)
       + ratio_weight * mean_stage (mean_keep - r)^2
       + dist_weight * token MSE over KEPT tokens.
+    temperature is the --softmax-temp "temperature value used for the
+    softmax functions in the distillation loss parts" (utils.py:230-231):
+    both logit distributions are softened by 1/T and the KL is rescaled by
+    T^2 so gradient magnitude stays comparable across temperatures.
     """
     from dense2sparse_vit_tpu.losses.backbone_loss import (
         cross_entropy,
@@ -74,9 +79,12 @@ def dynamic_vit_distill_loss(
     else:
         cls = cross_entropy(logits_s, labels)
 
-    log_p = jax.nn.log_softmax(logits_s, axis=-1)
-    log_q = jax.nn.log_softmax(logits_t, axis=-1)
-    cls_kl = jnp.sum(jnp.exp(log_q) * (log_q - log_p)) / log_p.shape[0]
+    T = float(temperature)
+    log_p = jax.nn.log_softmax(logits_s / T, axis=-1)
+    log_q = jax.nn.log_softmax(logits_t / T, axis=-1)
+    cls_kl = (
+        jnp.sum(jnp.exp(log_q) * (log_q - log_p)) / log_p.shape[0] * (T * T)
+    )
 
     loss = cls_weight * cls + cls_kl
     metrics = {"dyn_cls_loss": cls, "dyn_cls_kl": cls_kl}
@@ -96,6 +104,42 @@ def dynamic_vit_distill_loss(
         metrics["dyn_token_dist_loss"] = tok
     metrics["dyn_loss"] = loss
     return loss, metrics
+
+
+def predictor_bce_vs_teacher(
+    pred_keep_probs: Sequence[jnp.ndarray],
+    teacher_target: jnp.ndarray,
+    keep_ratios: Sequence[float],
+) -> jnp.ndarray:
+    """BCE between predictor keep probabilities and the teacher's CLS-attn
+    ground-truth mask (--teacher-cls-loss).
+
+    The reference parses the flag ("binary cross entropy loss between
+    averaged teacher CLS attention weights as labels and logits from the
+    predictor network", utils.py:241-243) for its dead
+    DistillDiffPruningLoss path; this implements the stated intent for the
+    gumbel student, whose tokens never move in training: per stage, the
+    label is the top-int(N*r) mask of the renormalized teacher CLS
+    attention over the ORIGINAL token grid (ratio convention of
+    dynamic_vit.py:828,852), with the kept class weighted by (1-r)/r
+    against class imbalance (losses.py:26-29).
+
+    pred_keep_probs: per-stage (B, N) keep probabilities in (0, 1).
+    teacher_target: (B, N) renormalized teacher CLS attention
+      (aggregate_teacher_cls_attn output / the cache's 'target' rows).
+    """
+    from dense2sparse_vit_tpu.ops.topk import mask_from_scores
+
+    t = teacher_target.astype(jnp.float32)
+    t = t / jnp.maximum(jnp.sum(t, axis=-1, keepdims=True), 1e-30)
+    loss = jnp.float32(0.0)
+    for probs, r in zip(pred_keep_probs, keep_ratios):
+        gt = mask_from_scores(t, r).astype(jnp.float32)
+        p = jnp.clip(probs.astype(jnp.float32), 1e-7, 1.0 - 1e-7)
+        w_pos = (1.0 - r) / r
+        bce = -(w_pos * gt * jnp.log(p) + (1.0 - gt) * jnp.log(1.0 - p))
+        loss = loss + jnp.mean(bce)
+    return loss / max(len(pred_keep_probs), 1)
 
 
 def kd_loss(

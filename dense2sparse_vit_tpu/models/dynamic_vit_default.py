@@ -87,8 +87,12 @@ class DynamicViTStudent(nn.Module):
     @nn.compact
     def __call__(
         self, x, *, training: bool = False, tau: float = 1.0,
-        deterministic: Optional[bool] = None,
+        deterministic: Optional[bool] = None, unpruned: bool = False,
     ) -> DynamicViTOutput:
+        """unpruned: run every block dense (no gumbel policy, no gather) —
+        the baseline side of the pruned-vs-unpruned eval comparison
+        (evaluate.py:36-40 intent). Predictor scores are still computed so
+        the parameter structure is identical either way."""
         cfg, pr = self.cfg, self.pruning
         if deterministic is None:
             deterministic = not training
@@ -140,7 +144,9 @@ class DynamicViTStudent(nn.Module):
                 )(spatial, prev_decision)
                 keep_logprob = pred[..., 0]
                 pred_keep_probs.append(jnp.exp(keep_logprob))
-                if training:
+                if unpruned:
+                    x = blk(x, deterministic=deterministic)
+                elif training:
                     # cumulative hard gumbel decision, policy-masked attention
                     # (default_dynamic_vit.py:454-459)
                     prev_decision = gumbel_softmax_keep(

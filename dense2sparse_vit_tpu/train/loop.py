@@ -103,6 +103,18 @@ def run_experiment(
         # every epoch -> train on the deterministic eval view; uint8 output
         # + batch-normalize also unlocks the decoded-image cache, so epochs
         # after the first skip JPEG decode entirely
+        if is_primary():
+            import warnings
+
+            warnings.warn(
+                "--teacher-cache trains on the DETERMINISTIC eval view: "
+                "RandomResizedCrop/flip/RandAugment/RandomErasing are all "
+                "disabled (not just mixup). This is a materially "
+                "weaker-regularized recipe than the reference's stochastic "
+                "train augmentation — use it for throughput, not for "
+                "accuracy-parity runs.",
+                stacklevel=2,
+            )
         ds_train = ImageFolder(
             cfg.data.imgnet_val_dir, eval_transform(cfg.data, normalize=False)
         )
@@ -164,8 +176,18 @@ def run_experiment(
     if max_steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
 
-    # models
-    student = DiffPruningStudent(cfg=cfg.model, pruning=cfg.pruning)
+    # models: selection='gumbel' dispatches to the DynamicViT-paper baseline
+    # student (reference default_dynamic_vit.py:435-487 + the --use-ratio-loss
+    # flag family); everything else is the diff-pruning student
+    gumbel_baseline = cfg.pruning.selection == "gumbel"
+    if gumbel_baseline:
+        from dense2sparse_vit_tpu.models.dynamic_vit_default import (
+            DynamicViTStudent,
+        )
+
+        student = DynamicViTStudent(cfg=cfg.model, pruning=cfg.pruning)
+    else:
+        student = DiffPruningStudent(cfg=cfg.model, pruning=cfg.pruning)
     teacher = ViTTeacher(cfg=cfg.model)
 
     sample = jnp.zeros((1, cfg.model.img_size, cfg.model.img_size, 3))
@@ -267,14 +289,29 @@ def run_experiment(
         state = jax.device_put(state, repl)
         teacher_params = jax.device_put(teacher_params, repl)
 
-    train_step = jax.jit(
-        make_train_step(
-            student, teacher, tx, cfg, mixup_active=mixup.active,
-            cached_teacher=use_tcache,
-        ),
-        donate_argnums=(0,),
-    )
-    eval_step = jax.jit(make_eval_step(student, teacher, cfg))
+    if gumbel_baseline:
+        from dense2sparse_vit_tpu.train.train_step import (
+            make_dynamic_vit_eval_step,
+            make_dynamic_vit_train_step,
+        )
+
+        train_step = jax.jit(
+            make_dynamic_vit_train_step(
+                student, teacher, tx, cfg, mixup_active=mixup.active,
+                cached_teacher=use_tcache,
+            ),
+            donate_argnums=(0,),
+        )
+        eval_step = jax.jit(make_dynamic_vit_eval_step(student, teacher, cfg))
+    else:
+        train_step = jax.jit(
+            make_train_step(
+                student, teacher, tx, cfg, mixup_active=mixup.active,
+                cached_teacher=use_tcache,
+            ),
+            donate_argnums=(0,),
+        )
+        eval_step = jax.jit(make_eval_step(student, teacher, cfg))
 
     logger = MetricsLogger(
         workdir, slurm_job_name(cfg), use_tensorboard=True, use_wandb=cfg.wandb,
@@ -427,10 +464,13 @@ def run_experiment(
             if is_primary():
                 ckpt.save_if_best(int(state.step), jax.device_get(state), acc)
 
-        # visualization hook on a fixed panel (mask_predictor.py:272-282)
+        # visualization hook on a fixed panel (mask_predictor.py:272-282);
+        # the gumbel baseline emits no per-stage kept-index/CLS-attn outputs
+        # for the panel renderer — viz is a diff-pruning-student feature
         if (
             cfg.visualize_patch_drop or cfg.visualize_cls_attn_evo
-        ) and viz_panel is not None and epoch % viz_every == 0 and is_primary():
+        ) and not gumbel_baseline and viz_panel is not None \
+                and epoch % viz_every == 0 and is_primary():
             # host-local forward: params are replicated, so host 0's copy is
             # the global value (multi-host-safe; viz never touches the mesh)
             host_vars = {"params": jax.device_get(state.params)}

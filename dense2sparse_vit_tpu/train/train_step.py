@@ -200,6 +200,155 @@ def make_train_step(
     return train_step
 
 
+def make_dynamic_vit_train_step(
+    student,
+    teacher,
+    tx: optax.GradientTransformation,
+    cfg: ExperimentConfig,
+    mixup_active: bool = False,
+    cached_teacher: bool = False,
+) -> Callable:
+    """Jittable train step for the DynamicViT-baseline (gumbel) student.
+
+    Same signature as make_train_step's result:
+      (state, teacher_in, images, labels, rng, epoch) -> (state, metrics).
+
+    Loss surface = the reference's --use-ratio-loss / --ratio-weight /
+    --use-token-dist-loss / --dist-weight / --cls-weight / --softmax-temp /
+    --teacher-cls-loss flag family (utils.py:228-244) consumed from
+    TrainConfig, feeding dynamic_vit_distill_loss — the DynamicViT-paper
+    recipe the reference intended via its dead DistillDiffPruningLoss
+    wiring (ddp_training.py:81, default_dynamic_vit.py:435-487).
+
+    `epoch` is accepted for signature parity; the gumbel recipe has no
+    warmup gate (the whole loss applies from step 0).
+    """
+    tr = cfg.train
+    pr = cfg.pruning
+    from dense2sparse_vit_tpu.losses import (
+        aggregate_teacher_cls_attn,
+        dynamic_vit_distill_loss,
+        predictor_bce_vs_teacher,
+    )
+
+    def loss_fn(params, teacher_in, images, labels, rng):
+        if images.dtype == jnp.uint8:
+            from dense2sparse_vit_tpu.data.pipeline import device_normalize
+
+            images = device_normalize(images, cfg.data)
+        t_target = None
+        if cached_teacher:
+            t_logits = teacher_in["logits"].astype(jnp.float32)
+            t_tokens = teacher_in["tokens"]
+            t_attns = teacher_in.get("attns")
+            t_target = teacher_in.get("target")
+        else:
+            t_logits, t_tokens, t_attns = teacher.apply(
+                {"params": teacher_in}, images, deterministic=True
+            )
+        t_logits = jax.lax.stop_gradient(t_logits)
+        t_tokens = jax.lax.stop_gradient(t_tokens)
+
+        out = student.apply(
+            {"params": params},
+            images,
+            training=True,
+            rngs={
+                "gumbel": jax.random.fold_in(rng, 0),
+                "dropout": jax.random.fold_in(rng, 1),
+            },
+        )
+        loss, metrics = dynamic_vit_distill_loss(
+            out.logits,
+            out.features,
+            t_logits,
+            t_tokens,
+            labels,
+            out.pred_keep_probs,
+            out.decisions,
+            pr.keep_ratios,
+            cls_weight=tr.cls_weight,
+            ratio_weight=tr.ratio_weight,
+            dist_weight=tr.dist_weight,
+            use_ratio_loss=tr.use_ratio_loss,
+            use_token_dist_loss=tr.use_token_dist_loss,
+            mixup_active=mixup_active,
+            temperature=tr.softmax_temp,
+        )
+        if tr.teacher_cls_loss:
+            if t_target is None:
+                t_target = aggregate_teacher_cls_attn(
+                    jax.lax.stop_gradient(t_attns), pr.mean_heads
+                )
+            bce = predictor_bce_vs_teacher(
+                out.pred_keep_probs, t_target, pr.keep_ratios
+            )
+            loss = loss + bce
+            metrics = {**metrics, "dyn_teacher_cls_bce": bce}
+        metrics = {**metrics, "loss": loss}
+        return loss, metrics
+
+    def train_step(state, teacher_in, images, labels, rng, epoch):
+        del epoch
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, metrics), grads = grad_fn(
+            state.params, teacher_in, images, labels, rng
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(
+                step=state.step + 1,
+                params=new_params,
+                opt_state=new_opt_state,
+                batch_stats=state.batch_stats,
+            ),
+            metrics,
+        )
+
+    return train_step
+
+
+def make_dynamic_vit_eval_step(student, teacher, cfg: ExperimentConfig) -> Callable:
+    """Eval step for the gumbel-baseline student: pruned (static-K hard
+    gather, default_dynamic_vit.py:461-468) + unpruned + teacher top-1, CE,
+    with the same label==-1 tail-padding semantics as make_eval_step."""
+
+    def eval_step(params, batch_stats, teacher_params, images, labels):
+        del batch_stats  # the baseline student has no BN predictor variant
+        if images.dtype == jnp.uint8:
+            from dense2sparse_vit_tpu.data.pipeline import device_normalize
+
+            images = device_normalize(images, cfg.data)
+        valid = (labels >= 0).astype(jnp.float32)
+        n_valid = jnp.maximum(jnp.sum(valid), 1.0)
+        labels = jnp.maximum(labels, 0)
+
+        def macc(pred_logits):
+            hit = (jnp.argmax(pred_logits, -1) == labels).astype(jnp.float32)
+            return jnp.sum(hit * valid) / n_valid
+
+        t_logits, _, _ = teacher.apply(
+            {"params": teacher_params}, images, deterministic=True
+        )
+        out = student.apply({"params": params}, images)
+        out_unpruned = student.apply({"params": params}, images, unpruned=True)
+
+        logp = jax.nn.log_softmax(out.logits.astype(jnp.float32), axis=-1)
+        ce_per = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+        ce = jnp.sum(ce_per * valid) / n_valid
+        return {
+            "val_loss": ce,
+            "val_cls_loss": ce,
+            "val_acc": macc(out.logits),
+            "unpruned_acc": macc(out_unpruned.logits),
+            "teacher_acc": macc(t_logits),
+            "n_valid": n_valid,
+        }
+
+    return eval_step
+
+
 def make_eval_step(student, teacher, cfg: ExperimentConfig) -> Callable:
     """Build the jittable eval step.
 
