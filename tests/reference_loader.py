@@ -86,6 +86,16 @@ def _install_timm_shim() -> None:
     layers.DropPath = DropPath
     layers.Mlp = Mlp
 
+    loss_mod = types.ModuleType("timm.loss")
+
+    class SoftTargetCrossEntropy(nn.Module):
+        def forward(self, x, target):
+            return torch.mean(
+                torch.sum(-target * torch.nn.functional.log_softmax(x, -1), -1)
+            )
+
+    loss_mod.SoftTargetCrossEntropy = SoftTargetCrossEntropy
+
     registry = types.ModuleType("timm.models.registry")
     registry.register_model = lambda fn: fn
 
@@ -102,6 +112,7 @@ def _install_timm_shim() -> None:
     timm.data = data
     timm.models = models
 
+    timm.loss = loss_mod
     for name, mod in {
         "timm": timm,
         "timm.data": data,
@@ -109,6 +120,7 @@ def _install_timm_shim() -> None:
         "timm.models.layers": layers,
         "timm.models.registry": registry,
         "timm.models.helpers": helpers,
+        "timm.loss": loss_mod,
     }.items():
         sys.modules[name] = mod
 
@@ -122,3 +134,20 @@ def load_reference_module(name: str):
         pkg.__package__ = _PKG
         sys.modules[_PKG] = pkg
     return importlib.import_module(f"{_PKG}.{name}")
+
+
+def load_reference_toplevel(name: str):
+    """Load /root/reference/<name>.py (e.g. losses) as module reftop.<name>.
+
+    Only modules whose imports the shim covers (losses.py needs torch +
+    timm.loss); train.py et al. pull fvcore/tqdm/wandb and are re-created
+    inline by the tests that pin their semantics.
+    """
+    _install_timm_shim()
+    pkg_name = "reftop"
+    if pkg_name not in sys.modules:
+        pkg = types.ModuleType(pkg_name)
+        pkg.__path__ = ["/root/reference"]
+        pkg.__package__ = pkg_name
+        sys.modules[pkg_name] = pkg
+    return importlib.import_module(f"{pkg_name}.{name}")
