@@ -27,6 +27,28 @@ Dtype = Any
 # (reference dynamic_vit.py:794-801)
 trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
 
+# one-time notice that elementwise dropout forced the unfused path
+_unfused_dropout_warned = [False]
+
+
+def _warn_unfused_dropout(drop: float, attn_drop: float) -> None:
+    """Elementwise dropout (drop/attn_drop > 0) has no fused-kernel
+    implementation, so a use_fused Block silently trains ~1.4x slower on the
+    flax path. No reference or timm ViT recipe sets these rates (drop_path
+    IS fused), so this is a config smell worth one loud warning."""
+    if _unfused_dropout_warned[0]:
+        return
+    _unfused_dropout_warned[0] = True
+    import warnings
+
+    warnings.warn(
+        f"use_fused requested but elementwise dropout is active "
+        f"(drop={drop}, attn_drop={attn_drop}): training falls back to the "
+        f"unfused flax path (~1.4x slower per step). drop_path is fused; "
+        f"set drop/attn_drop to 0 to keep the fused-kernel training path.",
+        stacklevel=3,
+    )
+
 
 class Mlp(nn.Module):
     """Transformer MLP: fc1 -> act -> drop -> fc2 -> drop.
@@ -218,6 +240,13 @@ class Block(nn.Module):
                 or ((drops_off or dp_only) and not return_cls_attn)
             )
         )
+        if (
+            self.use_fused
+            and not self.is_initializing()
+            and not deterministic
+            and (self.drop > 0.0 or self.attn_drop > 0.0)
+        ):
+            _warn_unfused_dropout(self.drop, self.attn_drop)
         if attn_fusable:
             # the WHOLE block as one Pallas kernel (ops/pallas/block.py):
             # LN1 folded into qkv, attention core, proj, residual, then the

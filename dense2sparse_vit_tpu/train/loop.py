@@ -461,8 +461,14 @@ def run_experiment(
             logger.log(agg, epoch, prefix="val")
             acc = agg.get("val_acc", 0.0)
             best_acc = max(best_acc, acc)
-            if is_primary():
-                ckpt.save_if_best(int(state.step), jax.device_get(state), acc)
+        if is_primary():
+            host_state = jax.device_get(state)
+            # latest-epoch stream: --resume continues from HERE even when
+            # accuracy plateaus (the best stream alone would silently rewind
+            # and re-train the plateau)
+            ckpt.save(int(state.step), host_state)
+            if total_valid:
+                ckpt.save_if_best(int(state.step), host_state, acc)
 
         # visualization hook on a fixed panel (mask_predictor.py:272-282);
         # the gumbel baseline emits no per-stage kept-index/CLS-attn outputs

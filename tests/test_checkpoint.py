@@ -56,3 +56,37 @@ class TestCheckpointManager:
         restored = mgr2.restore(state)
         assert int(restored.step) == 7
         mgr2.close()
+
+    def test_plateau_resume_prefers_latest_stream(self, tmp_path):
+        """Best saved at step 2, accuracy plateaus while latest-epoch saves
+        advance to step 6: resume restores step 6 (no silent rewind), and
+        restore_best still yields the step-2 deployable checkpoint."""
+        state = _state()
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        assert mgr.save_if_best(2, state.replace(step=state.step + 2), 0.9)
+        for s in (4, 6):  # plateau epochs: no new best
+            assert not mgr.save_if_best(
+                s, state.replace(step=state.step + s), 0.5
+            )
+            mgr.save(s, state.replace(step=state.step + s))
+        assert mgr.latest_step() == 6
+        assert mgr.best_step() == 2
+        assert int(mgr.restore(state).step) == 6
+        assert int(mgr.restore_best(state).step) == 2
+        mgr.close()
+        # a fresh manager (new process, --resume) sees the same picture
+        mgr2 = CheckpointManager(str(tmp_path / "ckpt"))
+        assert mgr2.latest_step() == 6
+        assert int(mgr2.restore(state).step) == 6
+        mgr2.close()
+
+    def test_best_newer_than_latest_wins_resume(self, tmp_path):
+        """When the best save is the most recent step (normal improving
+        run), resume restores it even with older latest-stream saves."""
+        state = _state()
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save(3, state.replace(step=state.step + 3))
+        assert mgr.save_if_best(5, state.replace(step=state.step + 5), 0.9)
+        assert mgr.latest_step() == 5
+        assert int(mgr.restore(state).step) == 5
+        mgr.close()

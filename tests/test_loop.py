@@ -83,6 +83,42 @@ class TestRunExperiment:
         )
         assert summary["epochs"] == 2
 
+    def test_resume_on_plateau_continues_from_last_epoch(
+        self, data_dir, tmp_path, monkeypatch
+    ):
+        """Accuracy plateaus (no best-stream save ever fires): --resume must
+        continue from the last epoch's latest-stream checkpoint instead of
+        rewinding to the last best and silently re-training the plateau."""
+        from dense2sparse_vit_tpu.utils.checkpoint import CheckpointManager
+
+        monkeypatch.setattr(
+            CheckpointManager, "save_if_best", lambda self, *a, **k: False
+        )
+        cfg = ExperimentConfig(
+            model=ModelConfig(
+                img_size=32, patch_size=8, embed_dim=16, depth=2,
+                num_heads=2, num_classes=3,
+            ),
+            pruning=PruningConfig(pruning_locs=(1,), keep_ratios=(0.5,)),
+            train=TrainConfig(batch_size=8, epochs=2, warmup_epochs=1),
+            data=DataConfig(
+                imgnet_val_dir=data_dir, num_classes=3,
+                eval_resize=36, eval_crop=32, mixup=0.0, cutmix=0.0,
+            ),
+        )
+        run_experiment(cfg, str(tmp_path), max_steps_per_epoch=2)
+        marker = os.path.getsize(tmp_path / "metrics.jsonl")
+        cfg2 = cfg.replace(train=cfg.train.replace(epochs=3))
+        run_experiment(
+            cfg2, str(tmp_path), resume=True, max_steps_per_epoch=2
+        )
+        with open(tmp_path / "metrics.jsonl") as f:
+            f.seek(marker)
+            new = [json.loads(l) for l in f]
+        trained = sorted(l["step"] for l in new if "train/loss" in l)
+        # only epoch 2 was trained after resume — epochs 0/1 not re-run
+        assert trained == [2]
+
     def test_teacher_cache_epoch(self, data_dir, tmp_path):
         """--teacher-cache end-to-end: pre-pass fills the cache, the epoch
         trains from it (no live teacher forward), metrics stay finite."""

@@ -234,3 +234,78 @@ class TestPadKeepToTile:
         out = model.apply(params, imgs)
         # 16 * 0.5 = 8 -> K+1=16 tile -> K=15
         assert out.features.shape == (B, 15, 32)
+
+
+class TestUnfusedDropoutWarning:
+    """Elementwise-dropout-active training silently fell back to the unfused
+    flax path; the fallback must announce itself exactly once."""
+
+    def _call_blocks(self, *, drop, use_fused, deterministic):
+        import functools
+        import warnings
+
+        from dense2sparse_vit_tpu.nn.layers import Block
+        from dense2sparse_vit_tpu.ops.pallas import attention as A
+        from dense2sparse_vit_tpu.ops.pallas import block as BLK
+
+        # CPU test host: force interpret mode on any kernel that still runs
+        patches = [
+            (A, "fused_attention_packed",
+             functools.partial(A.fused_attention_packed, interpret=True)),
+            (BLK, "fused_transformer_block",
+             functools.partial(BLK.fused_transformer_block, interpret=True)),
+        ]
+        saved = [(m, n, getattr(m, n)) for m, n, _ in patches]
+        for m, n, repl in patches:
+            setattr(m, n, repl)
+        try:
+            x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 32))
+            blocks = [
+                Block(num_heads=2, drop=drop, use_fused=use_fused)
+                for _ in range(2)
+            ]
+            variables = [
+                b.init(
+                    {"params": jax.random.PRNGKey(1),
+                     "dropout": jax.random.PRNGKey(2)}, x,
+                )
+                for b in blocks
+            ]
+            with warnings.catch_warnings(record=True) as caught:
+                warnings.simplefilter("always")
+                for b, v in zip(blocks, variables):
+                    b.apply(
+                        v, x, deterministic=deterministic,
+                        rngs={"dropout": jax.random.PRNGKey(3)},
+                    )
+            return [
+                w for w in caught if "unfused flax path" in str(w.message)
+            ]
+        finally:
+            for m, n, orig in saved:
+                setattr(m, n, orig)
+
+    def test_warns_once_when_dropout_forces_flax_path(self):
+        from dense2sparse_vit_tpu.nn import layers as nn_layers
+
+        nn_layers._unfused_dropout_warned[0] = False
+        # once, not once per block
+        assert len(self._call_blocks(
+            drop=0.1, use_fused=True, deterministic=False)) == 1
+        # process-once thereafter
+        assert len(self._call_blocks(
+            drop=0.1, use_fused=True, deterministic=False)) == 0
+
+    def test_no_warning_without_fused_request_or_in_eval(self):
+        from dense2sparse_vit_tpu.nn import layers as nn_layers
+
+        nn_layers._unfused_dropout_warned[0] = False
+        # unfused model with dropout: nothing to warn about
+        assert len(self._call_blocks(
+            drop=0.1, use_fused=False, deterministic=False)) == 0
+        # fused model in EVAL with dropout configured: fused path is taken
+        assert len(self._call_blocks(
+            drop=0.1, use_fused=True, deterministic=True)) == 0
+        # fused model training without elementwise dropout: fused path
+        assert len(self._call_blocks(
+            drop=0.0, use_fused=True, deterministic=False)) == 0
