@@ -129,8 +129,79 @@ def eval_transform(cfg: DataConfig, normalize: bool = True) -> Callable:
     return tf
 
 
-def train_transform(cfg: DataConfig, seed: int = 0) -> Callable:
-    """RandomResizedCrop -> flip -> RandAugment -> Normalize -> RandomErasing."""
+def device_random_erasing(key, x, cfg: DataConfig):
+    """timm RandomErasing (mode='pixel') on device, over a normalized
+    (B, H, W, C) batch.
+
+    Distributionally identical to the host path
+    (data.augment.random_erasing, itself pinned to timm semantics,
+    build_data_sets.py:22-23): one per-sample Bernoulli(reprob) gate, then
+    `recount` boxes, each drawn as 10 rejection attempts over
+    area in [0.02, 1/3)*H*W and log-uniform aspect in [0.3, 10/3), filled
+    with unit normal noise. Static shapes throughout: the box becomes a
+    broadcasted-iota mask, so this jits into a handful of fused
+    elementwise ops (no host round trip, no dynamic slicing).
+    """
+    B, H, W, C = x.shape
+    prob, count = float(cfg.reprob), int(cfg.recount)
+    if prob <= 0.0 or count <= 0:
+        return x
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    area = float(H * W)
+    ATTEMPTS = 10
+    kgate, kboxes = jr.split(key)
+    # host semantics: ONE prob gate per sample, then all `count` boxes
+    apply = jr.uniform(kgate, (B,)) <= prob
+
+    def one_box(x, k):
+        kt, ka, ktop, kleft, kn = jr.split(k, 5)
+        target = jr.uniform(
+            kt, (B, ATTEMPTS), minval=0.02, maxval=1.0 / 3.0
+        ) * area
+        aspect = jnp.exp(jr.uniform(
+            ka, (B, ATTEMPTS),
+            minval=jnp.log(0.3), maxval=jnp.log(10.0 / 3.0),
+        ))
+        h = jnp.round(jnp.sqrt(target * aspect)).astype(jnp.int32)
+        w = jnp.round(jnp.sqrt(target / aspect)).astype(jnp.int32)
+        valid = (h < H) & (w < W)
+        pick = jnp.argmax(valid, axis=1)  # first valid attempt (host loop)
+        any_valid = jnp.any(valid, axis=1)
+        h = jnp.take_along_axis(h, pick[:, None], 1)[:, 0]
+        w = jnp.take_along_axis(w, pick[:, None], 1)[:, 0]
+        top = jnp.floor(
+            jr.uniform(ktop, (B,)) * (H - h + 1).astype(jnp.float32)
+        ).astype(jnp.int32)
+        left = jnp.floor(
+            jr.uniform(kleft, (B,)) * (W - w + 1).astype(jnp.float32)
+        ).astype(jnp.int32)
+        rows = jnp.arange(H)[None, :]
+        cols = jnp.arange(W)[None, :]
+        rmask = (rows >= top[:, None]) & (rows < (top + h)[:, None])
+        cmask = (cols >= left[:, None]) & (cols < (left + w)[:, None])
+        mask = rmask[:, :, None] & cmask[:, None, :]  # (B, H, W)
+        mask = mask & (apply & any_valid)[:, None, None]
+        noise = jr.normal(kn, x.shape, x.dtype)
+        return jnp.where(mask[..., None], noise, x)
+
+    for i in range(count):
+        x = one_box(x, jr.fold_in(kboxes, i))
+    return x
+
+
+def train_transform(
+    cfg: DataConfig, seed: int = 0, as_uint8: bool = False
+) -> Callable:
+    """RandomResizedCrop -> flip -> RandAugment -> Normalize -> RandomErasing.
+
+    as_uint8: stop after RandAugment and return the raw uint8 array —
+    the loader then ships 4x fewer host->device bytes, and the epoch
+    driver applies Normalize + RandomErasing ON DEVICE (device_normalize +
+    device_random_erasing) before mixup, preserving the reference's op
+    order (build_data_sets.py:15-24 then mask_predictor.py:261-267).
+    """
     # geometric-op fill = round(255*mean), as timm's create_transform
     # passes via aa_params img_mean (build_data_sets.py:15-24)
     fill = tuple(min(255, round(255 * m)) for m in cfg.mean)
@@ -166,6 +237,8 @@ def train_transform(cfg: DataConfig, seed: int = 0) -> Callable:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
         if ra is not None:
             img = ra(img, rng)
+        if as_uint8:
+            return np.asarray(img, dtype=np.uint8)
         arr = _normalize(np.asarray(img), cfg)
         if cfg.reprob > 0:
             arr = random_erasing(

@@ -119,9 +119,14 @@ def run_experiment(
             cfg.data.imgnet_val_dir, eval_transform(cfg.data, normalize=False)
         )
     else:
+        # augmented path streams uint8 too: the host transform stops after
+        # RandAugment; Normalize + RandomErasing run ON DEVICE (jitted prep
+        # below) before mixup — 4x fewer host->device bytes with the
+        # reference's op order preserved (build_data_sets.py:15-24, then
+        # mixup mask_predictor.py:261-267)
         ds_train = ImageFolder(
             cfg.data.imgnet_val_dir,
-            train_transform(cfg.data, seed=cfg.train.seed),
+            train_transform(cfg.data, seed=cfg.train.seed, as_uint8=True),
         )
     # val set decodes to uint8: batches ship at 1/4 the bytes (the jitted
     # eval step normalizes on device), and the decoded-uint8 cache makes
@@ -156,10 +161,27 @@ def run_experiment(
                 ds_train, local_bs, shuffle=True, seed=cfg.train.seed,
                 indices=tr_idx_local, num_workers=cfg.data.num_workers,
                 with_indices=use_tcache, cache_decoded=use_tcache,
-                as_uint8=use_tcache,
+                as_uint8=True,
                 shared_cache=train_decoded if use_tcache else None,
             ))
         return _train_loader_holder[0]
+
+    # jitted on-device finish of the augmented train transform: normalize
+    # then pixel-mode random erasing (the host stopped after RandAugment)
+    train_prep = None
+    if not use_tcache:
+        from dense2sparse_vit_tpu.data.pipeline import (
+            device_normalize,
+            device_random_erasing,
+        )
+
+        def _prep(key, xb):
+            x = device_normalize(xb, cfg.data)
+            if cfg.data.reprob > 0:
+                x = device_random_erasing(key, x, cfg.data)
+            return x
+
+        train_prep = jax.jit(_prep)
     # val batch: largest multiple of the mesh data-axis size that fits —
     # static shapes require full batches, but tiny val sets must still eval
     mesh_n = mesh.shape["data"]
@@ -380,6 +402,8 @@ def run_experiment(
         metric_sum, n_steps = None, 0
         for step_i, (xb, yb, teacher_in) in enumerate(train_batches(epoch)):
             key = jax.random.fold_in(rng, epoch * 100003 + step_i)
+            if train_prep is not None:
+                xb = train_prep(jax.random.fold_in(key, 2), xb)
             if mixup.active:
                 xb, yb = mixup(jax.random.fold_in(key, 1), xb, yb)
             state, metrics = train_step(
@@ -522,6 +546,9 @@ def run_experiment(
         "train_device_resident": bool(
             use_tcache and tcache is not None and tcache.device_has_images
         ),
+        # augmented configs: host ships raw uint8, normalize + random
+        # erasing finish on device
+        "augmented_train_uint8_stream": train_prep is not None,
     }
     logger.summary(summary)
     logger.close()

@@ -437,3 +437,86 @@ class TestParallelLoader:
             make_loader(ds, batch_size=5, drop_last=False, num_workers=2)()
         )
         assert [len(b[1]) for b in batches] == [5, 5, 2]
+
+
+class TestUint8TrainStream:
+    """Augmented-path uint8 streaming: the host transform stops after
+    RandAugment; Normalize + RandomErasing finish on device."""
+
+    def test_uint8_transform_matches_float_path_before_erasing(self):
+        from dense2sparse_vit_tpu.data.pipeline import _normalize
+
+        cfg = DataConfig(eval_resize=40, eval_crop=32, reprob=0.0)
+        rng = np.random.default_rng(3)
+        img = Image.fromarray(
+            rng.integers(0, 255, size=(48, 56, 3), dtype=np.uint8)
+        )
+        # same seed -> identical host rng stream (reprob=0 means the float
+        # path draws nothing extra after RandAugment)
+        f = train_transform(cfg, seed=11)(img.copy())
+        u = train_transform(cfg, seed=11, as_uint8=True)(img.copy())
+        assert u.dtype == np.uint8
+        np.testing.assert_allclose(_normalize(u, cfg), f, rtol=0, atol=1e-6)
+
+    def test_device_erasing_prob_zero_is_identity(self):
+        from dense2sparse_vit_tpu.data.pipeline import device_random_erasing
+
+        cfg = DataConfig(reprob=0.0)
+        x = jnp.ones((4, 16, 16, 3))
+        y = device_random_erasing(jax.random.PRNGKey(0), x, cfg)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+    def test_device_erasing_box_geometry_and_noise(self):
+        from dense2sparse_vit_tpu.data.pipeline import device_random_erasing
+
+        cfg = DataConfig(reprob=1.0, recount=1)
+        B, H, W = 64, 32, 32
+        x = jnp.zeros((B, H, W, 3))
+        y = np.asarray(
+            device_random_erasing(jax.random.PRNGKey(1), x, cfg)
+        )
+        changed = (y != 0).any(-1)  # (B, H, W)
+        frac_changed = changed.reshape(B, -1).mean(1)
+        n_boxed = 0
+        for b in range(B):
+            if not changed[b].any():
+                continue  # all 10 attempts invalid for this sample (rare)
+            n_boxed += 1
+            rows = np.where(changed[b].any(1))[0]
+            cols = np.where(changed[b].any(0))[0]
+            # contiguous rectangle, fully filled
+            assert (np.diff(rows) == 1).all() and (np.diff(cols) == 1).all()
+            assert changed[b][np.ix_(rows, cols)].all()
+            # area within the timm range (+1px rounding slack each side)
+            area = len(rows) * len(cols) / (H * W)
+            assert 0.01 <= area <= 0.40
+        assert n_boxed >= B - 5  # prob=1: nearly every sample erased
+        # pixel mode: erased pixels are unit normal noise
+        noise = y[np.broadcast_to(changed[..., None], y.shape)]
+        assert abs(noise.mean()) < 0.05
+        assert abs(noise.std() - 1.0) < 0.05
+        # erased fraction stays in a sane band around the analytic mean
+        assert 0.05 < frac_changed[frac_changed > 0].mean() < 0.30
+
+    def test_device_erasing_prob_gate_rate(self):
+        from dense2sparse_vit_tpu.data.pipeline import device_random_erasing
+
+        cfg = DataConfig(reprob=0.25, recount=1)
+        B = 512
+        x = jnp.zeros((B, 16, 16, 3))
+        y = np.asarray(
+            device_random_erasing(jax.random.PRNGKey(2), x, cfg)
+        )
+        hit = (y != 0).any((1, 2, 3)).mean()
+        assert 0.17 <= hit <= 0.33  # Bernoulli(0.25), B=512
+
+    def test_device_erasing_recount_applies_multiple_boxes(self):
+        from dense2sparse_vit_tpu.data.pipeline import device_random_erasing
+
+        cfg1 = DataConfig(reprob=1.0, recount=1)
+        cfg3 = DataConfig(reprob=1.0, recount=3)
+        x = jnp.zeros((64, 32, 32, 3))
+        k = jax.random.PRNGKey(3)
+        f1 = (np.asarray(device_random_erasing(k, x, cfg1)) != 0).mean()
+        f3 = (np.asarray(device_random_erasing(k, x, cfg3)) != 0).mean()
+        assert f3 > f1  # more boxes -> more erased area on average

@@ -51,6 +51,8 @@ class TestRunExperiment:
         assert summary["epochs"] == 2
         # epoch 2's eval re-fed the device batches retained from epoch 1
         assert summary["val_dev_batches"] > 0
+        # augmented path ships uint8; normalize+erasing finished on device
+        assert summary["augmented_train_uint8_stream"] is True
         # artifacts: metrics log, summary, checkpoint, viz panel
         assert os.path.exists(tmp_path / "metrics.jsonl")
         lines = [
