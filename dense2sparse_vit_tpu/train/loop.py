@@ -394,6 +394,13 @@ def run_experiment(
     val_dev_ok = nproc == 1 and VAL_DEV_LIMIT > 0
     viz_panel = None
 
+    # one fused dispatch for the per-step running-metric accumulation
+    # (a python tree_map of jnp.add issues ~15 tiny device ops per step —
+    # measurable glue on the relay); the old sums are donated
+    metric_accum = jax.jit(
+        lambda s, m: jax.tree.map(jnp.add, s, m), donate_argnums=(0,)
+    )
+
     for epoch in range(start_epoch, cfg.train.epochs):
         t0 = time.time()
         # running means across the epoch (reference losses.py:111-117,
@@ -411,7 +418,7 @@ def run_experiment(
             )
             metric_sum = (
                 metrics if metric_sum is None
-                else jax.tree.map(jnp.add, metric_sum, metrics)
+                else metric_accum(metric_sum, metrics)
             )
             n_steps += 1
             if n_steps % log_every == 0:
@@ -473,9 +480,11 @@ def run_experiment(
             else _loader_eval_batches()
         )
         for xbd, ybd in eval_iter:
-            m = eval_step(
+            # ONE host readback for the whole metrics dict — per-metric
+            # float() would cost a full relay round trip (~24 ms) each
+            m = jax.device_get(eval_step(
                 state.params, state.batch_stats, teacher_params, xbd, ybd
-            )
+            ))
             w = float(m.pop("n_valid"))
             for k, v in m.items():
                 agg[k] = agg.get(k, 0.0) + float(v) * w

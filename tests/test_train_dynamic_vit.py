@@ -210,6 +210,49 @@ class TestFlagConsumption:
         )
 
 
+class TestGumbelOnMesh:
+    def test_train_step_shards_over_data_axis(self):
+        """The gumbel train step under GSPMD: batch sharded over the full
+        8-device 'data' axis, params replicated — the same layout
+        run_experiment uses (replaces the reference's DDP wrap of the
+        baseline, ddp_training.py:93)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from dense2sparse_vit_tpu.core.mesh import make_mesh
+
+        n = len(jax.devices())
+        assert n == 8, "conftest pins an 8-device CPU mesh"
+        mesh = make_mesh(jax.devices(), data=n)
+        repl = NamedSharding(mesh, P())
+
+        cfg, student, teacher, tx, state, tparams, _, _ = _setup(
+            TrainConfig(
+                batch_size=2 * n, use_ratio_loss=True,
+                use_token_dist_loss=True,
+            )
+        )
+        imgs = jax.random.normal(jax.random.PRNGKey(0), (2 * n, 32, 32, 3))
+        labels = jax.random.randint(
+            jax.random.PRNGKey(1), (2 * n,), 0, 3
+        )
+        state = jax.device_put(state, repl)
+        tparams = jax.device_put(tparams, repl)
+        imgs = jax.device_put(
+            imgs, NamedSharding(mesh, P("data", None, None, None))
+        )
+        labels = jax.device_put(labels, NamedSharding(mesh, P("data")))
+        step = jax.jit(
+            make_dynamic_vit_train_step(student, teacher, tx, cfg),
+            donate_argnums=(0,),
+        )
+        new_state, metrics = step(
+            state, tparams, imgs, labels, jax.random.PRNGKey(5),
+            jnp.float32(0.0),
+        )
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(new_state.step) == 1
+
+
 class TestGumbelEvalStep:
     def test_eval_metrics_and_padding(self):
         cfg, student, teacher, tx, state, tparams, imgs, labels = _setup(
