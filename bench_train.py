@@ -86,56 +86,40 @@ def run(
     tx = make_optimizer(cfg.train, steps_per_epoch=100)
 
     if mode == "gumbel":
-        import optax
-
-        from dense2sparse_vit_tpu.losses import dynamic_vit_distill_loss
+        # the DRIVER's own gumbel step (train/train_step.py::
+        # make_dynamic_vit_train_step, selection='gumbel' /
+        # --dynamic-vit-baseline) — benched path == shipped path
         from dense2sparse_vit_tpu.models.dynamic_vit_default import (
             DynamicViTStudent,
         )
+        from dense2sparse_vit_tpu.train.train_step import (
+            make_dynamic_vit_train_step,
+        )
 
+        cfg = cfg.replace(train=cfg.train.replace(
+            use_ratio_loss=True, use_token_dist_loss=True,
+        ))
         student = DynamicViTStudent(cfg=mcfg, pruning=cfg.pruning)
-        variables = student.init(
-            {"params": jax.random.PRNGKey(2),
-             "gumbel": jax.random.PRNGKey(7)},
-            imgs[:1], training=True,
+        state = create_train_state(
+            student, tx, jax.random.PRNGKey(2), imgs[:1]
         )
-        params = variables["params"]
-        opt_state = tx.init(params)
-
-        def step(params, opt_state, images, labels, rng):
-            def loss_fn(p):
-                t_logits, t_tokens, _ = teacher.apply(
-                    {"params": tparams}, images, deterministic=True
-                )
-                out = student.apply(
-                    {"params": p}, images, training=True,
-                    rngs={"gumbel": rng, "dropout": jax.random.fold_in(rng, 1)},
-                )
-                loss, _ = dynamic_vit_distill_loss(
-                    out.logits, out.features,
-                    jax.lax.stop_gradient(t_logits),
-                    jax.lax.stop_gradient(t_tokens),
-                    labels, out.pred_keep_probs, out.decisions,
-                    cfg.pruning.keep_ratios,
-                )
-                return loss
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
-
-        jstep = jax.jit(step, donate_argnums=(0, 1))
-        params, opt_state, loss = jstep(
-            params, opt_state, imgs, labels, jax.random.PRNGKey(4)
+        jstep = jax.jit(
+            make_dynamic_vit_train_step(student, teacher, tx, cfg),
+            donate_argnums=(0,),
         )
-        float(loss)
+        state, m = jstep(
+            state, tparams, imgs, labels, jax.random.PRNGKey(4),
+            jnp.float32(6.0),
+        )
+        float(m["loss"])
         t0 = time.time()
         for i in range(STEPS):
-            params, opt_state, loss = jstep(
-                params, opt_state, imgs, labels,
+            state, m = jstep(
+                state, tparams, imgs, labels,
                 jax.random.fold_in(jax.random.PRNGKey(5), i),
+                jnp.float32(6.0),
             )
-        float(loss)
+        float(m["loss"])
         return (time.time() - t0) / STEPS, None
 
     student = DiffPruningStudent(cfg=mcfg, pruning=cfg.pruning)
