@@ -137,6 +137,14 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
              "deit_base": deit_base}
     if args.arch not in sizes:
         raise ValueError(f"unknown arch {args.arch!r}; options {sorted(sizes)}")
+    if args.eval_crop != args.img_size:
+        # the transforms emit eval_crop-sized images and the model's
+        # pos-embed is sized for img_size — fail up front, not deep inside
+        # patch-embed broadcasting
+        raise ValueError(
+            f"--eval-crop ({args.eval_crop}) must equal --img-size "
+            f"({args.img_size}): the model consumes eval-crop-sized inputs"
+        )
     model = sizes[args.arch](
         img_size=args.img_size,
         patch_size=args.patch_size,

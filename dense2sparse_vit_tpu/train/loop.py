@@ -213,7 +213,13 @@ def run_experiment(
     teacher = ViTTeacher(cfg=cfg.model)
 
     sample = jnp.zeros((1, cfg.model.img_size, cfg.model.img_size, 3))
-    tx = make_optimizer(cfg.train, steps_per_epoch)
+    # gumbel baseline: joint fine-tuning from epoch 0 (no predictor-only
+    # warmup phase in the DynamicViT recipe — matches its loss, which has
+    # no warmup gate)
+    tx = make_optimizer(
+        cfg.train, steps_per_epoch,
+        backbone_warmup_freeze=not gumbel_baseline,
+    )
     state = create_train_state(student, tx, rng, sample)
     if student_params is not None:
         state = state.replace(params=student_params)

@@ -52,12 +52,18 @@ def label_params(params) -> Any:
 
 
 def make_optimizer(
-    cfg: TrainConfig, steps_per_epoch: int
+    cfg: TrainConfig,
+    steps_per_epoch: int,
+    backbone_warmup_freeze: bool = True,
 ) -> optax.GradientTransformation:
     """AdamW (mask_predictor.py:232) with per-group cosine schedules.
 
     Schedules are functions of the optax step count; the reference adjusts lr
     once per epoch, so we floor step/steps_per_epoch to the epoch index.
+
+    backbone_warmup_freeze=False keeps the backbone training from epoch 0
+    (the DynamicViT gumbel baseline's joint fine-tuning recipe — its loss
+    has no warmup gate either, train_step.py::make_dynamic_vit_train_step).
     """
 
     def epoch_of(count):
@@ -67,7 +73,9 @@ def make_optimizer(
         return sched.predictor_lr(epoch_of(count), cfg)
 
     def backbone_sched(count):
-        return sched.backbone_lr(epoch_of(count), cfg)
+        return sched.backbone_lr(
+            epoch_of(count), cfg, warmup_freeze=backbone_warmup_freeze
+        )
 
     def adamw(lr_fn: Callable, wd: float):
         return optax.adamw(

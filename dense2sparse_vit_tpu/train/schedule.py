@@ -24,12 +24,18 @@ def predictor_lr(epoch, cfg: TrainConfig):
     return cosine_lr(epoch, cfg)
 
 
-def backbone_lr(epoch, cfg: TrainConfig):
+def backbone_lr(epoch, cfg: TrainConfig, warmup_freeze: bool = True):
     """Backbone: frozen during warmup (and under --freeze-backbone), then
-    capped at min(lr * 0.01, cos_lr) (utils.py:112-127)."""
+    capped at min(lr * 0.01, cos_lr) (utils.py:112-127).
+
+    warmup_freeze=False drops the warmup zeroing (keeping the lr cap):
+    the DynamicViT gumbel baseline fine-tunes the whole model from epoch 0
+    — its recipe has no predictor-only phase."""
     if cfg.freeze_backbone:
         return jnp.zeros_like(cosine_lr(epoch, cfg))
     lr = jnp.minimum(cfg.lr * cfg.backbone_lr_scale, cosine_lr(epoch, cfg))
+    if not warmup_freeze:
+        return lr
     return jnp.where(epoch < cfg.warmup_epochs, 0.0, lr)
 
 

@@ -54,6 +54,52 @@ def create_train_state(
     )
 
 
+def _maybe_device_normalize(images, cfg: ExperimentConfig):
+    """uint8-fed input path (make_loader(as_uint8=True)): normalize on
+    device — jit specializes on dtype, so the float path is untouched."""
+    if images.dtype == jnp.uint8:
+        from dense2sparse_vit_tpu.data.pipeline import device_normalize
+
+        return device_normalize(images, cfg.data)
+    return images
+
+
+def _teacher_outputs(teacher, teacher_in, images, cached_teacher):
+    """(t_logits, t_tokens, t_attns, t_target), logits/tokens stop-gradded.
+
+    cached mode unpacks the TeacherCache row dict (train/teacher_cache.py:
+    'logits'/'tokens' plus 'target' or 'attns') instead of running the
+    frozen teacher forward."""
+    if cached_teacher:
+        t_logits = teacher_in["logits"].astype(jnp.float32)
+        t_tokens = teacher_in["tokens"]
+        t_attns = teacher_in.get("attns")
+        t_target = teacher_in.get("target")
+    else:
+        t_logits, t_tokens, t_attns = teacher.apply(
+            {"params": teacher_in}, images, deterministic=True
+        )
+        t_target = None
+    return (
+        jax.lax.stop_gradient(t_logits),
+        jax.lax.stop_gradient(t_tokens),
+        t_attns,
+        t_target,
+    )
+
+
+def _optimizer_step(tx, state: TrainState, grads, new_stats) -> TrainState:
+    """AdamW update + TrainState advance shared by both step builders."""
+    updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return TrainState(
+        step=state.step + 1,
+        params=new_params,
+        opt_state=new_opt_state,
+        batch_stats=new_stats,
+    )
+
+
 def make_train_step(
     student,
     teacher,
@@ -78,25 +124,10 @@ def make_train_step(
     tr = cfg.train
 
     def loss_fn(params, batch_stats, teacher_in, images, labels, rng, epoch):
-        if images.dtype == jnp.uint8:
-            # uint8-fed input path (make_loader(as_uint8=True)): normalize
-            # on device — jit specializes on dtype, so the float path is
-            # untouched
-            from dense2sparse_vit_tpu.data.pipeline import device_normalize
-
-            images = device_normalize(images, cfg.data)
-        t_target = None
-        if cached_teacher:
-            t_logits = teacher_in["logits"].astype(jnp.float32)
-            t_tokens = teacher_in["tokens"]
-            t_attns = teacher_in.get("attns")
-            t_target = teacher_in.get("target")
-        else:
-            t_logits, t_tokens, t_attns = teacher.apply(
-                {"params": teacher_in}, images, deterministic=True
-            )
-        t_logits = jax.lax.stop_gradient(t_logits)
-        t_tokens = jax.lax.stop_gradient(t_tokens)
+        images = _maybe_device_normalize(images, cfg)
+        t_logits, t_tokens, t_attns, t_target = _teacher_outputs(
+            teacher, teacher_in, images, cached_teacher
+        )
 
         variables = {"params": params}
         has_bn = bool(batch_stats)
@@ -185,17 +216,7 @@ def make_train_step(
             state.params, state.batch_stats, teacher_params, images, labels,
             rng, epoch,
         )
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        return (
-            TrainState(
-                step=state.step + 1,
-                params=new_params,
-                opt_state=new_opt_state,
-                batch_stats=new_stats,
-            ),
-            metrics,
-        )
+        return _optimizer_step(tx, state, grads, new_stats), metrics
 
     return train_step
 
@@ -232,22 +253,10 @@ def make_dynamic_vit_train_step(
     )
 
     def loss_fn(params, teacher_in, images, labels, rng):
-        if images.dtype == jnp.uint8:
-            from dense2sparse_vit_tpu.data.pipeline import device_normalize
-
-            images = device_normalize(images, cfg.data)
-        t_target = None
-        if cached_teacher:
-            t_logits = teacher_in["logits"].astype(jnp.float32)
-            t_tokens = teacher_in["tokens"]
-            t_attns = teacher_in.get("attns")
-            t_target = teacher_in.get("target")
-        else:
-            t_logits, t_tokens, t_attns = teacher.apply(
-                {"params": teacher_in}, images, deterministic=True
-            )
-        t_logits = jax.lax.stop_gradient(t_logits)
-        t_tokens = jax.lax.stop_gradient(t_tokens)
+        images = _maybe_device_normalize(images, cfg)
+        t_logits, t_tokens, t_attns, t_target = _teacher_outputs(
+            teacher, teacher_in, images, cached_teacher
+        )
 
         out = student.apply(
             {"params": params},
@@ -280,6 +289,7 @@ def make_dynamic_vit_train_step(
                 t_target = aggregate_teacher_cls_attn(
                     jax.lax.stop_gradient(t_attns), pr.mean_heads
                 )
+            t_target = jax.lax.stop_gradient(t_target)
             bce = predictor_bce_vs_teacher(
                 out.pred_keep_probs, t_target, pr.keep_ratios
             )
@@ -294,17 +304,7 @@ def make_dynamic_vit_train_step(
         (_, metrics), grads = grad_fn(
             state.params, teacher_in, images, labels, rng
         )
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        return (
-            TrainState(
-                step=state.step + 1,
-                params=new_params,
-                opt_state=new_opt_state,
-                batch_stats=state.batch_stats,
-            ),
-            metrics,
-        )
+        return _optimizer_step(tx, state, grads, state.batch_stats), metrics
 
     return train_step
 
@@ -316,10 +316,7 @@ def make_dynamic_vit_eval_step(student, teacher, cfg: ExperimentConfig) -> Calla
 
     def eval_step(params, batch_stats, teacher_params, images, labels):
         del batch_stats  # the baseline student has no BN predictor variant
-        if images.dtype == jnp.uint8:
-            from dense2sparse_vit_tpu.data.pipeline import device_normalize
-
-            images = device_normalize(images, cfg.data)
+        images = _maybe_device_normalize(images, cfg)
         valid = (labels >= 0).astype(jnp.float32)
         n_valid = jnp.maximum(jnp.sum(valid), 1.0)
         labels = jnp.maximum(labels, 0)
@@ -368,10 +365,7 @@ def make_eval_step(student, teacher, cfg: ExperimentConfig) -> Callable:
     pr = cfg.pruning
 
     def eval_step(params, batch_stats, teacher_params, images, labels):
-        if images.dtype == jnp.uint8:
-            from dense2sparse_vit_tpu.data.pipeline import device_normalize
-
-            images = device_normalize(images, cfg.data)
+        images = _maybe_device_normalize(images, cfg)
         valid = (labels >= 0).astype(jnp.float32)
         n_valid = jnp.maximum(jnp.sum(valid), 1.0)
         labels = jnp.maximum(labels, 0)

@@ -32,17 +32,40 @@ class CheckpointManager:
         self._best = ocp.CheckpointManager(
             os.path.join(self.directory, "best"),
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True
+                max_to_keep=max_to_keep,
+                create=True,
+                # best_fn makes orbax PERSIST per-step metrics (it drops
+                # them otherwise), which the resume path below reads to
+                # seed best_metric; GC then also keeps the top-N by metric
+                best_fn=lambda m: m["best_metric"],
+                best_mode="max",
             ),
         )
         self._latest = ocp.CheckpointManager(
             os.path.join(self.directory, "latest"),
             options=ocp.CheckpointManagerOptions(max_to_keep=2, create=True),
         )
+        # resume must not forget the historical best: a fresh manager with
+        # best_metric=None would let the FIRST post-resume eval overwrite
+        # the best-stream checkpoint with a worse one
         self.best_metric: Optional[float] = None
+        bs = self._best.latest_step()
+        if bs is not None:
+            try:
+                m = self._best.metrics(bs)
+                if m and m.get("best_metric") is not None:
+                    self.best_metric = float(m["best_metric"])
+            except Exception:
+                pass
 
     def save(self, step: int, state: Any, metrics: Optional[dict] = None):
-        """Save into the latest-epoch stream (called every epoch)."""
+        """Save into the latest-epoch stream (called every epoch).
+
+        Idempotent per step: an epoch that produced zero train steps (e.g. a
+        split smaller than the batch) re-saves the same step number, which
+        orbax rejects with StepAlreadyExistsError — skip instead."""
+        if step in self._latest.all_steps():
+            return
         self._latest.save(
             step, args=ocp.args.StandardSave(state), metrics=metrics
         )

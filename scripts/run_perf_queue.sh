@@ -23,14 +23,22 @@ if ! timeout 120 python -c "import jax, jax.numpy as jnp; print(jax.devices()); 
 fi
 
 run() {
-    name=$1; shift
+    name=$1; budget=$2; shift 2
     echo "== $name =="
-    timeout 1800 "$@" 2>&1 | tee "$OUT/${name}_${STAMP}.log"
+    timeout "$budget" "$@" > "$OUT/${name}_${STAMP}.log" 2>&1
+    rc=$?
+    echo "rc=$rc" >> "$OUT/${name}_${STAMP}.log"
+    tail -5 "$OUT/${name}_${STAMP}.log"
 }
 
-run bench        python bench.py
-run bench_train  python bench_train.py
-run e2e_epoch    python scripts/e2e_epoch.py
-run roofline     python scripts/profile_roofline.py
+# bench.py's own probe/retry budget must fit INSIDE its outer timeout, or a
+# mid-run relay hang kills it before the guaranteed JSON line: bound the
+# child run at 900s and give the wrapper 3 attempts' worth of headroom
+# (3 x (90s probe + 900s run) + sleeps ~= 3100s)
+export D2S_BENCH_PROBE_TIMEOUT=90 D2S_BENCH_RUN_TIMEOUT=900
+run bench        3300 python bench.py
+run bench_train  1800 python bench_train.py
+run e2e_epoch    1800 python scripts/e2e_epoch.py
+run roofline     1800 python scripts/profile_roofline.py
 
 echo "queue done; artifacts in $OUT (stamp $STAMP)"

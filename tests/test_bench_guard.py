@@ -110,5 +110,6 @@ def test_child_hang_is_bounded_and_reported(monkeypatch, capsys):
     monkeypatch.setattr(bench.subprocess, "run", fake_run)
     assert bench._parent_main() == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert out["error"].startswith("axon TPU backend unavailable")
+    # the probe succeeded, so this must NOT be attributed to an outage
+    assert out["error"].startswith("bench run failed with backend reachable")
     assert "bench hang" in out["attempts"][0]

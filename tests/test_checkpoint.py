@@ -80,6 +80,33 @@ class TestCheckpointManager:
         assert int(mgr2.restore(state).step) == 6
         mgr2.close()
 
+    def test_best_metric_survives_resume(self, tmp_path):
+        """A fresh manager (post-crash --resume) must seed best_metric from
+        the best stream, or the first post-resume eval would overwrite the
+        historical best checkpoint with a worse one."""
+        state = _state()
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        assert mgr.save_if_best(5, state.replace(step=state.step + 5), 0.8)
+        mgr.close()
+        mgr2 = CheckpointManager(str(tmp_path / "ckpt"))
+        assert mgr2.best_metric == 0.8
+        assert not mgr2.save_if_best(
+            6, state.replace(step=state.step + 6), 0.6
+        )  # worse than the historical best: must NOT save
+        assert mgr2.best_step() == 5
+        assert mgr2.save_if_best(7, state.replace(step=state.step + 7), 0.9)
+        mgr2.close()
+
+    def test_latest_save_idempotent_per_step(self, tmp_path):
+        """An epoch with zero train steps re-saves the same step number;
+        orbax would raise StepAlreadyExistsError without the skip."""
+        state = _state()
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save(0, state)
+        mgr.save(0, state)  # must be a no-op, not a crash
+        assert mgr.latest_step() == 0
+        mgr.close()
+
     def test_best_newer_than_latest_wins_resume(self, tmp_path):
         """When the best save is the most recent step (normal improving
         run), resume restores it even with older latest-stream saves."""

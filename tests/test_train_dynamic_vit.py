@@ -131,6 +131,18 @@ class TestRunExperimentGumbel:
         ])
         assert cfg.pruning.selection == "gumbel"
 
+    def test_cli_rejects_mismatched_img_size_and_eval_crop(self):
+        """--img-size without a matching --eval-crop must fail up front,
+        not deep inside patch-embed broadcasting."""
+        from dense2sparse_vit_tpu.cli import parse_config
+
+        with pytest.raises(ValueError, match="eval-crop"):
+            parse_config(["--arch", "deit_tiny", "--img-size", "64"])
+        cfg, _ = parse_config(
+            ["--arch", "deit_tiny", "--img-size", "64", "--eval-crop", "64"]
+        )
+        assert cfg.model.img_size == 64 and cfg.data.eval_crop == 64
+
 
 def _toy_batch(B=4):
     rng = jax.random.PRNGKey(0)
@@ -208,6 +220,58 @@ class TestFlagConsumption:
         assert on["loss"] == pytest.approx(
             off["loss"] + on["dyn_teacher_cls_bce"], rel=1e-4
         )
+
+
+class TestGumbelOptimizerNoWarmupFreeze:
+    def test_backbone_trains_from_epoch_zero(self):
+        """The DynamicViT recipe fine-tunes jointly from epoch 0: with
+        warmup_epochs=5, the gumbel driver's optimizer must still move
+        backbone params at step 0 (the diff-pruning optimizer zeroes the
+        backbone lr during warmup, schedule.py::backbone_lr)."""
+        import optax
+
+        tcfg = TrainConfig(warmup_epochs=5, epochs=10)
+        params = {
+            "blocks_0": {"attn": {"qkv": {"kernel": jnp.ones((4, 12))}}},
+            "score_predictor_0": {"in_dense": {"kernel": jnp.ones((4, 4))}},
+        }
+        grads = jax.tree.map(jnp.ones_like, params)
+
+        def delta(tx):
+            opt_state = tx.init(params)
+            updates, _ = tx.update(grads, opt_state, params)
+            new = optax.apply_updates(params, updates)
+            return float(jnp.abs(
+                new["blocks_0"]["attn"]["qkv"]["kernel"]
+                - params["blocks_0"]["attn"]["qkv"]["kernel"]
+            ).max())
+
+        frozen = delta(make_optimizer(tcfg, steps_per_epoch=4))
+        joint = delta(make_optimizer(
+            tcfg, steps_per_epoch=4, backbone_warmup_freeze=False
+        ))
+        assert frozen == 0.0  # diff-pruning warmup: backbone frozen
+        assert joint > 0.0    # gumbel baseline: trains from step 0
+
+    def test_run_experiment_uses_joint_optimizer(self, data_dir, tmp_path):
+        """Through the driver: with warmup_epochs>0 the gumbel run still
+        updates backbone params in epoch 0."""
+        cfg = _cfg(data_dir, warmup_epochs=5, epochs=1)
+        import dense2sparse_vit_tpu.train.loop as loop_mod
+
+        captured = {}
+        orig = loop_mod.make_optimizer
+
+        def spy(tcfg, steps_per_epoch, **kw):
+            captured.update(kw)
+            return orig(tcfg, steps_per_epoch, **kw)
+
+        loop_mod.make_optimizer = spy
+        try:
+            run_experiment(cfg, str(tmp_path), max_steps_per_epoch=1)
+        finally:
+            loop_mod.make_optimizer = orig
+        assert captured.get("backbone_warmup_freeze") is False
 
 
 class TestGumbelOnMesh:
