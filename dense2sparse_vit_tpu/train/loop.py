@@ -317,6 +317,11 @@ def run_experiment(
         state = jax.device_put(state, repl)
         teacher_params = jax.device_put(teacher_params, repl)
 
+    # every per-step input the driver feeds is freshly created (loader
+    # put / device gather / prep / mixup outputs), so the batch buffers are
+    # donated too; teacher_in is only donatable in cached mode (fresh row
+    # gathers) — in live-teacher mode it is the REUSED replicated params
+    donate = (0, 2, 3) + ((1,) if use_tcache else ())
     if gumbel_baseline:
         from dense2sparse_vit_tpu.train.train_step import (
             make_dynamic_vit_eval_step,
@@ -328,7 +333,7 @@ def run_experiment(
                 student, teacher, tx, cfg, mixup_active=mixup.active,
                 cached_teacher=use_tcache,
             ),
-            donate_argnums=(0,),
+            donate_argnums=donate,
         )
         eval_step = jax.jit(make_dynamic_vit_eval_step(student, teacher, cfg))
     else:
@@ -337,7 +342,7 @@ def run_experiment(
                 student, teacher, tx, cfg, mixup_active=mixup.active,
                 cached_teacher=use_tcache,
             ),
-            donate_argnums=(0,),
+            donate_argnums=donate,
         )
         eval_step = jax.jit(make_eval_step(student, teacher, cfg))
 
@@ -413,6 +418,7 @@ def run_experiment(
         # train.py:76-83 accumulate into a shared metrics dict); sums stay
         # on device, fetched at the logging cadence
         metric_sum, n_steps = None, 0
+        epoch_arr = jnp.float32(epoch)  # one upload per epoch, not per step
         for step_i, (xb, yb, teacher_in) in enumerate(train_batches(epoch)):
             key = jax.random.fold_in(rng, epoch * 100003 + step_i)
             if train_prep is not None:
@@ -420,7 +426,7 @@ def run_experiment(
             if mixup.active:
                 xb, yb = mixup(jax.random.fold_in(key, 1), xb, yb)
             state, metrics = train_step(
-                state, teacher_in, xb, yb, key, jnp.float32(epoch)
+                state, teacher_in, xb, yb, key, epoch_arr
             )
             metric_sum = (
                 metrics if metric_sum is None
