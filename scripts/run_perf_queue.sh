@@ -40,5 +40,6 @@ run bench        3300 python bench.py
 run bench_train  1800 python bench_train.py
 run e2e_epoch    1800 python scripts/e2e_epoch.py
 run roofline     1800 python scripts/profile_roofline.py
+run bench_zoo    1800 python bench_zoo.py
 
 echo "queue done; artifacts in $OUT (stamp $STAMP)"
