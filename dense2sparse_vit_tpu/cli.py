@@ -118,6 +118,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval-resize", default=256, type=int)
     p.add_argument("--eval-crop", default=224, type=int)
     p.add_argument("--use-fused-attention", action="store_true", default=False)
+    # gradient accumulation: average grads over k micro-steps per optimizer
+    # update (effective batch = batch-size * k); single-chip lever for
+    # large effective batches
+    p.add_argument("--grad-accum-steps", default=1, type=int)
+    # rematerialize the student forward under grad (jax.checkpoint): trades
+    # recompute FLOPs for activation memory on ViT-B/L-scale configs
+    p.add_argument("--remat", action="store_true", default=False)
     p.add_argument("--dtype", type=str, default="float32")
     p.add_argument("--workdir", type=str, default="runs/latest")
     p.add_argument("--resume", action="store_true", default=False)
@@ -151,6 +158,7 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
         num_classes=args.num_classes,
         dtype=args.dtype,
         use_fused_attention=args.use_fused_attention,
+        remat=args.remat,
     )
     if args.dynamic_vit_baseline:
         # DynamicViT-paper baseline: gumbel-softmax keep policy in training,
@@ -198,6 +206,7 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
         teacher_cls_loss=args.teacher_cls_loss,
         teacher_cache=args.teacher_cache,
         device_cache_gb=args.device_cache_gb,
+        grad_accum_steps=args.grad_accum_steps,
     )
     data = DataConfig(
         imgnet_val_dir=args.imgnet_val_dir,

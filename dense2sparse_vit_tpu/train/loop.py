@@ -215,9 +215,12 @@ def run_experiment(
     sample = jnp.zeros((1, cfg.model.img_size, cfg.model.img_size, 3))
     # gumbel baseline: joint fine-tuning from epoch 0 (no predictor-only
     # warmup phase in the DynamicViT recipe — matches its loss, which has
-    # no warmup gate)
+    # no warmup gate). Under grad accumulation the inner schedules count
+    # optimizer UPDATES, so the per-epoch divisor shrinks by k
+    # (train/optimizer.py::make_optimizer).
+    sched_steps = max(steps_per_epoch // cfg.train.grad_accum_steps, 1)
     tx = make_optimizer(
-        cfg.train, steps_per_epoch,
+        cfg.train, sched_steps,
         backbone_warmup_freeze=not gumbel_baseline,
     )
     state = create_train_state(student, tx, rng, sample)

@@ -85,6 +85,29 @@ class TestRunExperiment:
         )
         assert summary["epochs"] == 2
 
+    def test_grad_accum_epoch(self, data_dir, tmp_path):
+        """--grad-accum-steps through the full driver: micro-steps thread
+        the MultiSteps optimizer state, loss stays finite."""
+        cfg = ExperimentConfig(
+            model=ModelConfig(
+                img_size=32, patch_size=8, embed_dim=16, depth=2,
+                num_heads=2, num_classes=3,
+            ),
+            pruning=PruningConfig(pruning_locs=(1,), keep_ratios=(0.5,)),
+            train=TrainConfig(
+                batch_size=8, epochs=1, warmup_epochs=1, grad_accum_steps=2
+            ),
+            data=DataConfig(
+                imgnet_val_dir=data_dir, num_classes=3,
+                eval_resize=36, eval_crop=32, mixup=0.0, cutmix=0.0,
+            ),
+        )
+        summary = run_experiment(cfg, str(tmp_path), max_steps_per_epoch=4)
+        assert summary["epochs"] == 1
+        lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+        losses = [l["train/loss"] for l in lines if "train/loss" in l]
+        assert losses and np.isfinite(losses).all()
+
     def test_resume_on_plateau_continues_from_last_epoch(
         self, data_dir, tmp_path, monkeypatch
     ):

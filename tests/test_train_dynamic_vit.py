@@ -131,6 +131,15 @@ class TestRunExperimentGumbel:
         ])
         assert cfg.pruning.selection == "gumbel"
 
+    def test_cli_grad_accum_and_remat_flags(self):
+        from dense2sparse_vit_tpu.cli import parse_config
+
+        cfg, _ = parse_config([
+            "--arch", "deit_small", "--grad-accum-steps", "4", "--remat",
+        ])
+        assert cfg.train.grad_accum_steps == 4
+        assert cfg.model.remat is True
+
     def test_cli_rejects_mismatched_img_size_and_eval_crop(self):
         """--img-size without a matching --eval-crop must fail up front,
         not deep inside patch-embed broadcasting."""
