@@ -127,12 +127,10 @@ def mask_loss(
             raise ValueError(f"unknown mask loss type {loss_type!r}")
 
         # mask accuracy: predicted top-k mask vs teacher top-k mask
-        # (losses.py:60,96)
-        if loss_type == "bce":
-            pred_scores = jax.nn.sigmoid(logits)
-        else:
-            pred_scores = jax.nn.softmax(logits, axis=-1)
-        pred_mask = mask_from_scores(pred_scores, stage_ratio)
+        # (losses.py:60,96). The reference ranks softmax/sigmoid outputs;
+        # both are strictly monotonic, so ranking the raw logits yields the
+        # identical mask without the elementwise transform
+        pred_mask = mask_from_scores(logits, stage_ratio)
         gt_mask = mask_from_scores(renorm, stage_ratio)
         metrics[f"mask_acc_{i}"] = jnp.mean(pred_mask == gt_mask)
 
