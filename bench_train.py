@@ -65,7 +65,7 @@ def run(
     from dense2sparse_vit_tpu.models import DiffPruningStudent, ViTTeacher
     from dense2sparse_vit_tpu.train import (
         create_train_state,
-        make_optimizer,
+        build_optimizer,
         make_train_step,
     )
 
@@ -83,7 +83,7 @@ def run(
                              jnp.bfloat16)
     labels = jax.random.randint(jax.random.PRNGKey(1), (batch,), 0, 1000)
     tparams = teacher.init(jax.random.PRNGKey(3), imgs[:1])["params"]
-    tx = make_optimizer(cfg.train, steps_per_epoch=100)
+    tx = build_optimizer(cfg.train, steps_per_epoch=100)
 
     if mode == "gumbel":
         # the DRIVER's own gumbel step (train/train_step.py::

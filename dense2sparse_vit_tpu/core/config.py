@@ -193,6 +193,12 @@ class TrainConfig:
     # uint8 images + labels); over budget it degrades gracefully to
     # teacher-rows-only, then to host-side rows (train/teacher_cache.py)
     device_cache_gb: float = 6.0
+    # flattened AdamW (train/flat_optimizer.py): identical updates computed
+    # on one raveled vector — a handful of large fused ops instead of one
+    # small kernel chain per parameter leaf. Right choice for the
+    # data-parallel driver (params replicated); set False under tensor
+    # parallelism, where per-leaf moments inherit the leaf sharding
+    flat_optimizer: bool = True
     seed: int = 42
 
     def replace(self, **kw) -> "TrainConfig":

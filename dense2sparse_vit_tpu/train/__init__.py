@@ -6,6 +6,7 @@ from dense2sparse_vit_tpu.train.schedule import (  # noqa: F401
 )
 from dense2sparse_vit_tpu.train.optimizer import (  # noqa: F401
     label_params,
+    build_optimizer,
     make_optimizer,
 )
 from dense2sparse_vit_tpu.train.train_step import (  # noqa: F401

@@ -41,7 +41,7 @@ from dense2sparse_vit_tpu.data import (
     train_transform,
 )
 from dense2sparse_vit_tpu.models import DiffPruningStudent, ViTTeacher
-from dense2sparse_vit_tpu.train.optimizer import make_optimizer
+from dense2sparse_vit_tpu.train.optimizer import build_optimizer
 from dense2sparse_vit_tpu.train.train_step import (
     create_train_state,
     make_eval_step,
@@ -219,7 +219,7 @@ def run_experiment(
     # optimizer UPDATES, so the per-epoch divisor shrinks by k
     # (train/optimizer.py::make_optimizer).
     sched_steps = max(steps_per_epoch // cfg.train.grad_accum_steps, 1)
-    tx = make_optimizer(
+    tx = build_optimizer(
         cfg.train, sched_steps,
         backbone_warmup_freeze=not gumbel_baseline,
     )

@@ -104,3 +104,27 @@ def make_optimizer(
         # count UPDATES, so steps_per_epoch should then be updates per epoch
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
     return tx
+
+
+def build_optimizer(
+    cfg: TrainConfig,
+    steps_per_epoch: int,
+    backbone_warmup_freeze: bool = True,
+) -> optax.GradientTransformation:
+    """Driver-facing dispatch: the flattened AdamW (identical updates,
+    ~6 fused device ops instead of ~150 per-leaf chains —
+    train/flat_optimizer.py, equivalence-tested) unless
+    cfg.flat_optimizer=False (e.g. tensor-parallel runs, where per-leaf
+    moments must inherit the leaf sharding)."""
+    if cfg.flat_optimizer:
+        from dense2sparse_vit_tpu.train.flat_optimizer import (
+            make_flat_optimizer,
+        )
+
+        return make_flat_optimizer(
+            cfg, steps_per_epoch,
+            backbone_warmup_freeze=backbone_warmup_freeze,
+        )
+    return make_optimizer(
+        cfg, steps_per_epoch, backbone_warmup_freeze=backbone_warmup_freeze
+    )
