@@ -414,6 +414,14 @@ def run_experiment(
     metric_accum = jax.jit(
         lambda s, m: jax.tree.map(jnp.add, s, m), donate_argnums=(0,)
     )
+    # pre-weight eval metrics by the batch's valid count on device, so the
+    # cross-batch aggregation is a pure device-side tree-add
+    eval_weight = jax.jit(
+        lambda m: {
+            **{k: v * m["n_valid"] for k, v in m.items() if k != "n_valid"},
+            "n_valid": m["n_valid"],
+        }
+    )
 
     for epoch in range(start_epoch, cfg.train.epochs):
         t0 = time.time()
@@ -460,8 +468,10 @@ def run_experiment(
             logger.log(epoch_means, epoch, prefix="train")
 
         # eval (evaluate_performance parity); tail batch padded with
-        # label -1 so coverage is exact — aggregation weights by n_valid
-        agg, total_valid = {}, 0.0
+        # label -1 so coverage is exact — aggregation weights by n_valid.
+        # Weighted sums accumulate ON DEVICE: one host readback per EVAL,
+        # not per val batch (each readback is a full relay round trip)
+        agg_dev = None
 
         def _loader_eval_batches():
             nonlocal viz_panel, val_dev_ok
@@ -495,17 +505,14 @@ def run_experiment(
             else _loader_eval_batches()
         )
         for xbd, ybd in eval_iter:
-            # ONE host readback for the whole metrics dict — per-metric
-            # float() would cost a full relay round trip (~24 ms) each
-            m = jax.device_get(eval_step(
+            m = eval_weight(eval_step(
                 state.params, state.batch_stats, teacher_params, xbd, ybd
             ))
-            w = float(m.pop("n_valid"))
-            for k, v in m.items():
-                agg[k] = agg.get(k, 0.0) + float(v) * w
-            total_valid += w
+            agg_dev = m if agg_dev is None else metric_accum(agg_dev, m)
+        agg = jax.device_get(agg_dev) if agg_dev is not None else {}
+        total_valid = float(agg.pop("n_valid", 0.0))
         if total_valid:
-            agg = {k: v / total_valid for k, v in agg.items()}
+            agg = {k: float(v) / total_valid for k, v in agg.items()}
             logger.log(agg, epoch, prefix="val")
             acc = agg.get("val_acc", 0.0)
             best_acc = max(best_acc, acc)
