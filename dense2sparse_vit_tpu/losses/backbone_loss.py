@@ -39,11 +39,13 @@ def backbone_loss(
     logits_s: jnp.ndarray,
     tokens_s: jnp.ndarray,
     logits_t: jnp.ndarray,
-    tokens_t: jnp.ndarray,
+    tokens_t: Optional[jnp.ndarray],
     labels: jnp.ndarray,
     kept_idx_orig: Optional[jnp.ndarray] = None,
     keep_mask: Optional[jnp.ndarray] = None,
     mixup_active: bool = False,
+    tokens_t_probs: Optional[jnp.ndarray] = None,
+    tokens_t_entropy: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, dict]:
     """Classification + distillation loss.
 
@@ -58,6 +60,12 @@ def backbone_loss(
         kept tokens only (reference's ragged boolean select, losses.py:216,
         done as masked mean).
       mixup_active: labels are soft targets (reference losses.py:170-175).
+      tokens_t_probs/tokens_t_entropy: frozen-teacher-cache fast path —
+        q = softmax(tokens_t) (B, N, D) and the per-row entropy term
+        sum(q*log q) (B, N), precomputed once at cache build. The KL row is
+        then entropy - sum(q * log_softmax(tokens_s)): SAME value as the
+        tokens_t path (sum q·log q − sum q·ls), without recomputing the
+        teacher-side log_softmax + exp every step. tokens_t may be None.
 
     Returns:
       (loss, metrics dict).
@@ -75,8 +83,24 @@ def backbone_loss(
     )
 
     ls = jax.nn.log_softmax(tokens_s.astype(jnp.float32), axis=-1)
-    lt_full = jax.nn.log_softmax(tokens_t.astype(jnp.float32), axis=-1)
-    if kept_idx_orig is not None:
+    if tokens_t_probs is not None:
+        q_full = tokens_t_probs.astype(jnp.float32)
+        h_full = tokens_t_entropy.astype(jnp.float32)
+        if kept_idx_orig is not None:
+            q = jnp.take_along_axis(q_full, kept_idx_orig[..., None], axis=1)
+            h = jnp.take_along_axis(h_full, kept_idx_orig, axis=1)
+            per_token = h - jnp.sum(q * ls, axis=-1)  # (B, K)
+            token_kl = jnp.mean(per_token)
+        elif keep_mask is not None:
+            per_token = h_full - jnp.sum(q_full * ls, axis=-1)
+            token_kl = jnp.sum(per_token * keep_mask) / jnp.maximum(
+                jnp.sum(keep_mask), 1.0
+            )
+        else:
+            per_token = h_full - jnp.sum(q_full * ls, axis=-1)
+            token_kl = jnp.mean(per_token)
+    elif kept_idx_orig is not None:
+        lt_full = jax.nn.log_softmax(tokens_t.astype(jnp.float32), axis=-1)
         lt = jnp.take_along_axis(
             lt_full, kept_idx_orig[..., None], axis=1
         )
@@ -84,11 +108,13 @@ def backbone_loss(
         per_token = jnp.sum(jnp.exp(lt) * (lt - ls), axis=-1)  # (B, K)
         token_kl = jnp.mean(per_token)
     elif keep_mask is not None:
+        lt_full = jax.nn.log_softmax(tokens_t.astype(jnp.float32), axis=-1)
         per_token = jnp.sum(jnp.exp(lt_full) * (lt_full - ls), axis=-1)
         token_kl = jnp.sum(per_token * keep_mask) / jnp.maximum(
             jnp.sum(keep_mask), 1.0
         )
     else:
+        lt_full = jax.nn.log_softmax(tokens_t.astype(jnp.float32), axis=-1)
         per_token = jnp.sum(jnp.exp(lt_full) * (lt_full - ls), axis=-1)
         token_kl = jnp.mean(per_token)
 

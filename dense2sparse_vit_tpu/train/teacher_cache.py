@@ -17,10 +17,11 @@ Validity requires the teacher input for a sample to be the SAME every epoch:
     trains on the deterministic eval view (Resize/CenterCrop), which also
     makes the decoded-uint8 loader cache applicable.
 
-Per-image cost (bf16): logits 2 KB + final tokens 147 KB + either the
-reduced (N,) mask-loss target (392 B) or, only under --cls-from-teacher,
-the full (L, H, N+1) CLS-attention stack (28 KB) — ~0.15-0.18 MB/img,
-7.2 GB for the 40k train split.
+Per-image cost (bf16): logits 2 KB + final-token supervision 147 KB
+(token_probs, same bytes as the raw tokens it replaces, + a 784 B fp32
+entropy row) + either the reduced (N,) mask-loss target (392 B) or, only
+under --cls-from-teacher, the full (L, H, N+1) CLS-attention stack (28 KB)
+— ~0.15-0.18 MB/img, 7.2 GB for the 40k train split.
 """
 
 from __future__ import annotations
@@ -35,12 +36,21 @@ from dense2sparse_vit_tpu.losses.mask_loss import aggregate_teacher_cls_attn
 def make_teacher_outputs_fn(teacher, cfg):
     """Jittable (teacher_params, images) -> dict of cacheable outputs.
 
-    Keys: 'logits' (B, num_classes), 'tokens' (B, N, D), and either
-    'target' (B, N) — the reduced mask-loss supervision — or 'attns'
-    (B, L, H, N+1) when the student itself consumes the full stack
-    (cfg.pruning.cls_from_teacher).
+    Keys: 'logits' (B, num_classes); 'target' (B, N) — the reduced
+    mask-loss supervision — or 'attns' (B, L, H, N+1) when the student
+    itself consumes the full stack (cfg.pruning.cls_from_teacher); and the
+    final-token supervision in the form its consumer needs:
+
+      * diff-pruning student: the token KL needs softmax(tokens) and the
+        per-row entropy term sum(q*log q), never the raw tokens — caching
+        'token_probs' (B, N, D) + 'token_entropy' (B, N) deletes a
+        log_softmax AND an exp over (B, N, D) from EVERY cached train step
+        (KL_row = entropy_row - sum(q * log_softmax(student_tokens))).
+      * gumbel baseline (selection='gumbel'): its distill loss is a token
+        MSE (dynamic_vit_distill_loss), so raw 'tokens' (B, N, D) stay.
     """
     need_stack = cfg.pruning.cls_from_teacher
+    raw_tokens = cfg.pruning.selection == "gumbel"
     # storage dtype follows the model: bf16 runs cache bf16 rows (what
     # the step consumes anyway), fp32 runs keep fp32 supervision so the
     # cache switch is semantics-preserving, not a silent quantization
@@ -56,10 +66,17 @@ def make_teacher_outputs_fn(teacher, cfg):
         t_logits, t_tokens, t_attns = teacher.apply(
             {"params": teacher_params}, images, deterministic=True
         )
-        out = {
-            "logits": t_logits.astype(store_dt),
-            "tokens": t_tokens.astype(store_dt),
-        }
+        out = {"logits": t_logits.astype(store_dt)}
+        if raw_tokens:
+            out["tokens"] = t_tokens.astype(store_dt)
+        else:
+            logq = jax.nn.log_softmax(
+                t_tokens.astype(jnp.float32), axis=-1
+            )
+            q = jnp.exp(logq)
+            out["token_probs"] = q.astype(store_dt)
+            # entropy term in fp32: a (N,) row scalar, negligible bytes
+            out["token_entropy"] = jnp.sum(q * logq, axis=-1)
         if need_stack:
             out["attns"] = t_attns.astype(store_dt)
         else:

@@ -64,28 +64,40 @@ def _maybe_device_normalize(images, cfg: ExperimentConfig):
     return images
 
 
-def _teacher_outputs(teacher, teacher_in, images, cached_teacher):
-    """(t_logits, t_tokens, t_attns, t_target), logits/tokens stop-gradded.
+def _teacher_outputs(teacher, teacher_in, images, cached_teacher) -> dict:
+    """Frozen-teacher supervision as a dict (all entries stop-gradded).
 
-    cached mode unpacks the TeacherCache row dict (train/teacher_cache.py:
-    'logits'/'tokens' plus 'target' or 'attns') instead of running the
-    frozen teacher forward."""
+    Keys: 'logits', 'attns', 'target', and the final-token supervision as
+    either 'tokens' (live forward / gumbel cache) or
+    'token_probs'+'token_entropy' (diff-pruning cache — the precomputed
+    softmax/entropy form backbone_loss consumes without per-step
+    log_softmax; train/teacher_cache.py::make_teacher_outputs_fn).
+    Missing keys are None."""
     if cached_teacher:
-        t_logits = teacher_in["logits"].astype(jnp.float32)
-        t_tokens = teacher_in["tokens"]
-        t_attns = teacher_in.get("attns")
-        t_target = teacher_in.get("target")
+        out = {
+            "logits": teacher_in["logits"].astype(jnp.float32),
+            "tokens": teacher_in.get("tokens"),
+            "token_probs": teacher_in.get("token_probs"),
+            "token_entropy": teacher_in.get("token_entropy"),
+            "attns": teacher_in.get("attns"),
+            "target": teacher_in.get("target"),
+        }
     else:
         t_logits, t_tokens, t_attns = teacher.apply(
             {"params": teacher_in}, images, deterministic=True
         )
-        t_target = None
-    return (
-        jax.lax.stop_gradient(t_logits),
-        jax.lax.stop_gradient(t_tokens),
-        t_attns,
-        t_target,
-    )
+        out = {
+            "logits": t_logits,
+            "tokens": t_tokens,
+            "token_probs": None,
+            "token_entropy": None,
+            "attns": t_attns,
+            "target": None,
+        }
+    return {
+        k: (jax.lax.stop_gradient(v) if v is not None else None)
+        for k, v in out.items()
+    }
 
 
 def _optimizer_step(tx, state: TrainState, grads, new_stats) -> TrainState:
@@ -125,9 +137,9 @@ def make_train_step(
 
     def loss_fn(params, batch_stats, teacher_in, images, labels, rng, epoch):
         images = _maybe_device_normalize(images, cfg)
-        t_logits, t_tokens, t_attns, t_target = _teacher_outputs(
-            teacher, teacher_in, images, cached_teacher
-        )
+        t = _teacher_outputs(teacher, teacher_in, images, cached_teacher)
+        t_logits = t["logits"].astype(jnp.float32)
+        t_attns, t_target = t["attns"], t["target"]
 
         variables = {"params": params}
         has_bn = bool(batch_stats)
@@ -182,11 +194,13 @@ def make_train_step(
             out.logits,
             out.features,
             t_logits,
-            t_tokens,
+            t["tokens"],
             labels,
             kept_idx_orig=out.kept_idx_orig,
             keep_mask=out.keep_mask,
             mixup_active=mixup_active,
+            tokens_t_probs=t["token_probs"],
+            tokens_t_entropy=t["token_entropy"],
         )
         # warmup gate: mask loss only for the first warmup epochs
         # (train.py:50-53)
@@ -254,9 +268,9 @@ def make_dynamic_vit_train_step(
 
     def loss_fn(params, teacher_in, images, labels, rng):
         images = _maybe_device_normalize(images, cfg)
-        t_logits, t_tokens, t_attns, t_target = _teacher_outputs(
-            teacher, teacher_in, images, cached_teacher
-        )
+        t = _teacher_outputs(teacher, teacher_in, images, cached_teacher)
+        t_logits = t["logits"].astype(jnp.float32)
+        t_tokens, t_attns, t_target = t["tokens"], t["attns"], t["target"]
 
         out = student.apply(
             {"params": params},

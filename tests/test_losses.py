@@ -189,6 +189,55 @@ class TestBackboneLoss:
         assert float(m["token_kl_loss"]) >= 0
 
 
+class TestBackboneLossPrecomputedDistribution:
+    """The cached-teacher fast path (token_probs + token_entropy) must give
+    the SAME token KL as the raw-tokens path: KL_row = sum q*log q -
+    sum q*ls, with q = softmax(tokens_t)."""
+
+    def _inputs(self, B=3, K=5, N=8, C=6, ncls=7):
+        k = jax.random.PRNGKey(0)
+        ks = jax.random.split(k, 6)
+        logits_s = jax.random.normal(ks[0], (B, ncls))
+        logits_t = jax.random.normal(ks[1], (B, ncls))
+        tokens_s = jax.random.normal(ks[2], (B, K, C))
+        tokens_t = jax.random.normal(ks[3], (B, N, C))
+        labels = jax.random.randint(ks[4], (B,), 0, ncls)
+        kept = jnp.sort(
+            jax.random.permutation(
+                ks[5], jnp.arange(N)[None].repeat(B, 0), axis=1,
+                independent=True,
+            )[:, :K], axis=1,
+        )
+        logq = jax.nn.log_softmax(tokens_t, axis=-1)
+        q = jnp.exp(logq)
+        h = jnp.sum(q * logq, axis=-1)
+        return logits_s, tokens_s, logits_t, tokens_t, labels, kept, q, h
+
+    def test_kept_idx_path_matches(self):
+        ls, ts, lt, tt, y, kept, q, h = self._inputs()
+        ref, mref = backbone_loss(ls, ts, lt, tt, y, kept_idx_orig=kept)
+        fast, mfast = backbone_loss(
+            ls, ts, lt, None, y, kept_idx_orig=kept,
+            tokens_t_probs=q, tokens_t_entropy=h,
+        )
+        np.testing.assert_allclose(float(ref), float(fast), rtol=1e-6)
+        np.testing.assert_allclose(
+            float(mref["token_kl_loss"]), float(mfast["token_kl_loss"]),
+            rtol=1e-6,
+        )
+
+    def test_keep_mask_path_matches(self):
+        ls, ts, lt, tt, y, _, q, h = self._inputs(K=8)
+        mask = (jax.random.uniform(jax.random.PRNGKey(9), (3, 8)) > 0.4)
+        mask = mask.astype(jnp.float32)
+        ref, _ = backbone_loss(ls, ts, lt, tt, y, keep_mask=mask)
+        fast, _ = backbone_loss(
+            ls, ts, lt, None, y, keep_mask=mask,
+            tokens_t_probs=q, tokens_t_entropy=h,
+        )
+        np.testing.assert_allclose(float(ref), float(fast), rtol=1e-6)
+
+
 class TestDistill:
     def test_keep_ratio_loss_zero_at_target(self):
         probs = [jnp.full((B, N), 0.75), jnp.full((B, 12), 0.5)]

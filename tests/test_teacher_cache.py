@@ -81,9 +81,16 @@ def test_cached_step_matches_live(cls_from_teacher):
 def test_outputs_fn_keys():
     cfg, _, teacher, _, _, tparams, imgs, _ = _setup()
     out = jax.jit(make_teacher_outputs_fn(teacher, cfg))(tparams, imgs)
-    assert set(out) == {"logits", "tokens", "target"}
+    # diff-pruning consumer: token supervision is cached as the
+    # precomputed softmax + per-row entropy (not raw tokens)
+    assert set(out) == {"logits", "token_probs", "token_entropy", "target"}
     n_patches = (16 // 4) ** 2
     assert out["target"].shape == (B, n_patches)
+    assert out["token_probs"].shape == (B, n_patches, 16)
+    assert out["token_entropy"].shape == (B, n_patches)
+    np.testing.assert_allclose(
+        np.asarray(out["token_probs"], np.float32).sum(-1), 1.0, atol=1e-2
+    )
     # storage dtype follows the model: fp32 models keep fp32 supervision
     # (the cache switch must not silently quantize the objective)
     want_dt = (
@@ -95,7 +102,14 @@ def test_outputs_fn_keys():
         PR.replace(cls_from_teacher=True)
     )
     out2 = jax.jit(make_teacher_outputs_fn(teacher2, cfg2))(tp2, imgs2)
-    assert set(out2) == {"logits", "tokens", "attns"}
+    assert set(out2) == {"logits", "token_probs", "token_entropy", "attns"}
+
+    # gumbel consumer: its distill loss is a token MSE -> raw tokens stay
+    cfg3, _, teacher3, _, _, tp3, imgs3, _ = _setup(
+        PR.replace(selection="gumbel")
+    )
+    out3 = jax.jit(make_teacher_outputs_fn(teacher3, cfg3))(tp3, imgs3)
+    assert set(out3) == {"logits", "tokens", "target"}
 
 
 def test_cache_build_and_lookup():
