@@ -269,17 +269,17 @@ class TestGumbelOptimizerNoWarmupFreeze:
         import dense2sparse_vit_tpu.train.loop as loop_mod
 
         captured = {}
-        orig = loop_mod.make_optimizer
+        orig = loop_mod.build_optimizer
 
         def spy(tcfg, steps_per_epoch, **kw):
             captured.update(kw)
             return orig(tcfg, steps_per_epoch, **kw)
 
-        loop_mod.make_optimizer = spy
+        loop_mod.build_optimizer = spy
         try:
             run_experiment(cfg, str(tmp_path), max_steps_per_epoch=1)
         finally:
-            loop_mod.make_optimizer = orig
+            loop_mod.build_optimizer = orig
         assert captured.get("backbone_warmup_freeze") is False
 
 
