@@ -386,3 +386,59 @@ class TestOptimizerUpdateParity:
 
     def test_adamw_decoupled_weight_decay(self, ref, ref_losses, batch):
         self._run(ref, ref_losses, batch, weight_decay=0.05)
+
+
+class TestPerturbedTopKParity:
+    """Forward indicators AND backward gradient vs the reference's own
+    autograd function (peturbed_topk.py:16-80) under IDENTICAL noise.
+
+    The reference materializes the (B, nS, k, N) one-hot tensor; ours is a
+    scatter/gather restructuring — same estimator, so with the same noise
+    tensor both passes must agree to fp32 tolerance.
+    """
+
+    def test_forward_and_backward_match_reference(self, ref):
+        import types
+
+        from dense2sparse_vit_tpu.ops.perturbed_topk import (
+            _perturbed_topk_core,
+        )
+
+        B, N, k, nS, sigma = 3, 12, 5, 64, 0.1
+        rng = np.random.default_rng(11)
+        x_np = rng.normal(size=(B, N)).astype(np.float32)
+        z_np = rng.normal(size=(B, nS, N)).astype(np.float32)
+        g_np = rng.normal(size=(B, k, N)).astype(np.float32)
+
+        # torch side: pin the noise by intercepting torch.normal
+        ref_mod = load_reference_module("peturbed_topk")
+        orig_normal = torch.normal
+
+        def fixed_normal(mean=0.0, std=1.0, size=None, **kw):
+            assert tuple(size) == (B, nS, N)
+            return torch.tensor(z_np)
+
+        torch.normal = fixed_normal
+        try:
+            xt = torch.tensor(x_np, requires_grad=True)
+            ind_t = ref_mod.PerturbedTopKFunction.apply(xt, k, nS, sigma)
+            ind_t.backward(torch.tensor(g_np))
+        finally:
+            torch.normal = orig_normal
+
+        # jax side: the core takes the noise tensor explicitly
+        def f(x):
+            return _perturbed_topk_core(
+                jnp.asarray(x), jnp.asarray(z_np), jnp.float32(sigma),
+                jnp.zeros((k,)),
+            )
+
+        ind_j, vjp = jax.vjp(f, jnp.asarray(x_np))
+        (gx_j,) = vjp(jnp.asarray(g_np))
+
+        np.testing.assert_allclose(
+            np.asarray(ind_j), ind_t.detach().numpy(), rtol=0, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(gx_j), xt.grad.numpy(), rtol=1e-5, atol=1e-6
+        )
