@@ -15,3 +15,7 @@ from dense2sparse_vit_tpu.utils.profiling import (  # noqa: F401
     pruned_vs_dense_flops,
     time_jitted,
 )
+from dense2sparse_vit_tpu.utils.export import (  # noqa: F401
+    export_student,
+    load_exported,
+)
