@@ -128,6 +128,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", type=str, default="float32")
     p.add_argument("--workdir", type=str, default="runs/latest")
     p.add_argument("--resume", action="store_true", default=False)
+    # standalone evaluation: restore the workdir checkpoint and run one
+    # padded full-coverage eval (the reference's evaluate_performance is
+    # only reachable inside its training loop)
+    p.add_argument("--eval-only", action="store_true", default=False)
     # multi-host (replaces --use-ddp + mp.spawn + NCCL rendezvous,
     # mask_predictor.py:160-162 / ddp_training.py:4-8): run one process per
     # host with the same flags; JAX_COORDINATOR_ADDRESS etc. env vars work too
@@ -258,7 +262,11 @@ def main(argv: Optional[Sequence[str]] = None):  # pragma: no cover - thin
         num_processes=args.dist_num_processes,
         process_id=args.dist_process_id,
     )
-    return run_experiment(cfg, args.workdir, resume=args.resume)
+    return run_experiment(
+        cfg, args.workdir,
+        resume=args.resume or args.eval_only,
+        eval_only=args.eval_only,
+    )
 
 
 if __name__ == "__main__":  # pragma: no cover

@@ -60,6 +60,7 @@ def run_experiment(
     resume: bool = False,
     max_steps_per_epoch: Optional[int] = None,
     viz_every: int = 1,
+    eval_only: bool = False,
 ) -> dict:
     """Train the diff-pruning student against a frozen teacher.
 
@@ -69,6 +70,10 @@ def run_experiment(
       resume: restore the latest checkpoint from workdir.
       max_steps_per_epoch: truncate epochs (debug parity with the
         reference's debug-job overrides, mask_predictor.py:134-158).
+      eval_only: skip training entirely — restore (with resume=True) and
+        run ONE padded full-coverage eval, returning its metrics. The
+        standalone-evaluation driver the reference lacks
+        (evaluate_performance is only reachable inside its training loop).
 
     Returns summary metrics dict (best accuracy etc.).
     """
@@ -88,7 +93,7 @@ def run_experiment(
         label_smoothing=cfg.data.smoothing,
         num_classes=cfg.data.num_classes,
     )
-    use_tcache = cfg.train.teacher_cache
+    use_tcache = cfg.train.teacher_cache and not eval_only
     if use_tcache and mixup.active:
         raise ValueError(
             "--teacher-cache requires mixup/cutmix disabled: the teacher "
@@ -423,6 +428,65 @@ def run_experiment(
         }
     )
 
+    def run_eval(state):
+        """One full padded-coverage eval pass (evaluate_performance parity);
+        returns (weighted-mean metrics dict, total_valid). Weighted sums
+        accumulate ON DEVICE: one host readback per eval, not per batch."""
+        nonlocal viz_panel, val_dev_ok
+        agg_dev = None
+
+        def _loader_eval_batches():
+            nonlocal viz_panel, val_dev_ok
+            nbytes = 0
+            for xb, yb in val_loader():
+                if len(yb) < val_bs:
+                    pad = val_bs - len(yb)
+                    xb = np.concatenate(
+                        [xb, np.repeat(xb[:1], pad, axis=0)]
+                    )
+                    yb = np.concatenate(
+                        [yb, np.full((pad,), -1, yb.dtype)]
+                    )
+                if viz_panel is None:
+                    # host copy, captured before device placement (global
+                    # arrays are not host-addressable under multi-host)
+                    viz_panel = (np.asarray(xb[:16]), np.asarray(yb[:16]))
+                xbd = put_global_batch_from_full(img_sh, xb)
+                ybd = put_global_batch_from_full(data_sh, yb)
+                if val_dev_ok:
+                    nbytes += xbd.nbytes + ybd.nbytes
+                    if nbytes <= VAL_DEV_LIMIT:
+                        val_dev_batches.append((xbd, ybd))
+                    else:
+                        val_dev_batches.clear()
+                        val_dev_ok = False
+                yield xbd, ybd
+
+        eval_iter = (
+            iter(val_dev_batches) if val_dev_batches
+            else _loader_eval_batches()
+        )
+        for xbd, ybd in eval_iter:
+            m = eval_weight(eval_step(
+                state.params, state.batch_stats, teacher_params, xbd, ybd
+            ))
+            agg_dev = m if agg_dev is None else metric_accum(agg_dev, m)
+        agg = jax.device_get(agg_dev) if agg_dev is not None else {}
+        total_valid = float(agg.pop("n_valid", 0.0))
+        if total_valid:
+            agg = {k: float(v) / total_valid for k, v in agg.items()}
+        return agg, total_valid
+
+    if eval_only:
+        agg, total_valid = run_eval(state)
+        if total_valid:
+            logger.log(agg, start_epoch, prefix="val")
+        summary = {"eval_only": True, "epochs": 0, **agg}
+        logger.summary(summary)
+        logger.close()
+        ckpt.close()
+        return summary
+
     for epoch in range(start_epoch, cfg.train.epochs):
         t0 = time.time()
         # running means across the epoch (reference losses.py:111-117,
@@ -467,52 +531,9 @@ def run_experiment(
             }
             logger.log(epoch_means, epoch, prefix="train")
 
-        # eval (evaluate_performance parity); tail batch padded with
-        # label -1 so coverage is exact — aggregation weights by n_valid.
-        # Weighted sums accumulate ON DEVICE: one host readback per EVAL,
-        # not per val batch (each readback is a full relay round trip)
-        agg_dev = None
-
-        def _loader_eval_batches():
-            nonlocal viz_panel, val_dev_ok
-            nbytes = 0
-            for xb, yb in val_loader():
-                if len(yb) < val_bs:
-                    pad = val_bs - len(yb)
-                    xb = np.concatenate(
-                        [xb, np.repeat(xb[:1], pad, axis=0)]
-                    )
-                    yb = np.concatenate(
-                        [yb, np.full((pad,), -1, yb.dtype)]
-                    )
-                if viz_panel is None:
-                    # host copy, captured before device placement (global
-                    # arrays are not host-addressable under multi-host)
-                    viz_panel = (np.asarray(xb[:16]), np.asarray(yb[:16]))
-                xbd = put_global_batch_from_full(img_sh, xb)
-                ybd = put_global_batch_from_full(data_sh, yb)
-                if val_dev_ok:
-                    nbytes += xbd.nbytes + ybd.nbytes
-                    if nbytes <= VAL_DEV_LIMIT:
-                        val_dev_batches.append((xbd, ybd))
-                    else:
-                        val_dev_batches.clear()
-                        val_dev_ok = False
-                yield xbd, ybd
-
-        eval_iter = (
-            iter(val_dev_batches) if val_dev_batches
-            else _loader_eval_batches()
-        )
-        for xbd, ybd in eval_iter:
-            m = eval_weight(eval_step(
-                state.params, state.batch_stats, teacher_params, xbd, ybd
-            ))
-            agg_dev = m if agg_dev is None else metric_accum(agg_dev, m)
-        agg = jax.device_get(agg_dev) if agg_dev is not None else {}
-        total_valid = float(agg.pop("n_valid", 0.0))
+        # eval (evaluate_performance parity)
+        agg, total_valid = run_eval(state)
         if total_valid:
-            agg = {k: float(v) / total_valid for k, v in agg.items()}
             logger.log(agg, epoch, prefix="val")
             acc = agg.get("val_acc", 0.0)
             best_acc = max(best_acc, acc)

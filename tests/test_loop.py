@@ -85,6 +85,37 @@ class TestRunExperiment:
         )
         assert summary["epochs"] == 2
 
+    def test_eval_only_after_training(self, data_dir, tmp_path):
+        """--eval-only: restore the workdir checkpoint and run one padded
+        full-coverage eval without training (the reference's
+        evaluate_performance has no standalone driver)."""
+        cfg = ExperimentConfig(
+            model=ModelConfig(
+                img_size=32, patch_size=8, embed_dim=16, depth=2,
+                num_heads=2, num_classes=3,
+            ),
+            pruning=PruningConfig(pruning_locs=(1,), keep_ratios=(0.5,)),
+            train=TrainConfig(batch_size=8, epochs=1, warmup_epochs=1),
+            data=DataConfig(
+                imgnet_val_dir=data_dir, num_classes=3,
+                eval_resize=36, eval_crop=32, mixup=0.0, cutmix=0.0,
+            ),
+        )
+        run_experiment(cfg, str(tmp_path), max_steps_per_epoch=2)
+        from dense2sparse_vit_tpu.utils.checkpoint import CheckpointManager
+
+        steps_before = CheckpointManager(str(tmp_path / "ckpt")).latest_step()
+        summary = run_experiment(
+            cfg, str(tmp_path), resume=True, eval_only=True
+        )
+        assert summary["eval_only"] is True
+        assert summary["epochs"] == 0
+        for k in ("val_acc", "unpruned_acc", "teacher_acc"):
+            assert np.isfinite(summary[k])
+        # eval-only writes no new checkpoints
+        steps_after = CheckpointManager(str(tmp_path / "ckpt")).latest_step()
+        assert steps_after == steps_before
+
     def test_grad_accum_epoch(self, data_dir, tmp_path):
         """--grad-accum-steps through the full driver: micro-steps thread
         the MultiSteps optimizer state, loss stays finite."""
