@@ -122,6 +122,14 @@ def build_parser() -> argparse.ArgumentParser:
     # update (effective batch = batch-size * k); single-chip lever for
     # large effective batches
     p.add_argument("--grad-accum-steps", default=1, type=int)
+    # flattened AdamW is the DP default; --no-flat-optimizer restores the
+    # per-leaf multi_transform form (tensor-parallel runs, or resuming a
+    # checkpoint saved with the per-leaf optimizer state)
+    p.add_argument("--flat-optimizer", action="store_true")
+    p.add_argument(
+        "--no-flat-optimizer", action="store_false", dest="flat_optimizer"
+    )
+    p.set_defaults(flat_optimizer=True)
     # rematerialize the student forward under grad (jax.checkpoint): trades
     # recompute FLOPs for activation memory on ViT-B/L-scale configs
     p.add_argument("--remat", action="store_true", default=False)
@@ -211,6 +219,7 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
         teacher_cache=args.teacher_cache,
         device_cache_gb=args.device_cache_gb,
         grad_accum_steps=args.grad_accum_steps,
+        flat_optimizer=args.flat_optimizer,
     )
     data = DataConfig(
         imgnet_val_dir=args.imgnet_val_dir,

@@ -284,6 +284,7 @@ def run_experiment(
 
     ckpt = CheckpointManager(f"{workdir}/ckpt")
     start_epoch = 0
+    restored = False
     if resume:
         # Multi-host: workdirs may be process-local (no shared filesystem),
         # so only process 0's checkpoint is authoritative. Restore there and
@@ -309,6 +310,7 @@ def run_experiment(
             state = ckpt.restore(state)
         if has_ckpt:
             start_epoch = int(state.step) // steps_per_epoch
+            restored = True
 
     if nproc > 1:
         # replicate across hosts: every process contributes the same value
@@ -478,6 +480,14 @@ def run_experiment(
         return agg, total_valid
 
     if eval_only:
+        # evaluating a random init would silently report chance-level
+        # accuracy as if it were the model's — require restored or
+        # explicitly provided weights
+        if not restored and student_params is None:
+            raise FileNotFoundError(
+                f"--eval-only: no checkpoint under {workdir}/ckpt and no "
+                "student_params provided; nothing trained to evaluate"
+            )
         agg, total_valid = run_eval(state)
         if total_valid:
             logger.log(agg, start_epoch, prefix="val")

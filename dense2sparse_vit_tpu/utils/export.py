@@ -50,8 +50,36 @@ def export_student(
     size = img_size or student.cfg.img_size
     dtype = jnp.dtype(student.cfg.dtype)
 
+    # mirror make_eval_step's apply configuration so the exported artifact
+    # computes EXACTLY what the validated eval computes
+    pr = getattr(student, "pruning", None)
+    apply_kwargs = {}
+    if pr is not None:
+        if pr.cls_from_teacher:
+            # the student would silently fall back to its own scores
+            # without the teacher's CLS attentions — a different pruning
+            # policy than the one validated at eval
+            raise ValueError(
+                "cls_from_teacher students take the frozen teacher's CLS "
+                "attentions as a runtime input; export the "
+                "teacher-independent configuration instead"
+            )
+        if pr.selection == "random":
+            # fixed selection stream, matching make_eval_step
+            apply_kwargs["rngs"] = {"selection": jax.random.PRNGKey(0)}
+
     def forward(images):
-        out = student.apply(variables, images.astype(dtype))
+        try:
+            out = student.apply(
+                variables, images.astype(dtype), collect_cls_attns=False,
+                **apply_kwargs,
+            )
+        except TypeError:
+            # models without the CLS-capture switch (e.g. the gumbel
+            # baseline student)
+            out = student.apply(
+                variables, images.astype(dtype), **apply_kwargs
+            )
         logits = out.logits if hasattr(out, "logits") else out
         return logits.astype(jnp.float32)
 

@@ -50,3 +50,60 @@ def test_symbolic_batch_serves_multiple_sizes():
             student.apply(variables, xb).logits.astype(jnp.float32)
         )
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_cls_from_teacher_export_rejected():
+    student = DiffPruningStudent(
+        cfg=TINY,
+        pruning=PruningConfig(
+            pruning_locs=(1,), keep_ratios=(0.5,), cls_from_teacher=True
+        ),
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="cls_from_teacher"):
+        export_student(student, {"params": {}}, batch_size=2)
+
+
+def test_random_selection_and_gumbel_students_export():
+    import jax.random as jr
+
+    # random-drop selection: export binds the fixed eval selection stream
+    student = DiffPruningStudent(
+        cfg=TINY,
+        pruning=PruningConfig(
+            pruning_locs=(1,), keep_ratios=(0.5,), selection="random"
+        ),
+    )
+    imgs = jr.normal(jr.PRNGKey(0), (2, 32, 32, 3))
+    variables = student.init(
+        {"params": jr.PRNGKey(1), "selection": jr.PRNGKey(2)}, imgs[:1]
+    )
+    fn = load_exported(export_student(student, variables, batch_size=2))
+    want = student.apply(
+        variables, imgs, rngs={"selection": jr.PRNGKey(0)}
+    ).logits
+    np.testing.assert_allclose(
+        np.asarray(fn(imgs)),
+        np.asarray(want.astype(jnp.float32)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    # gumbel baseline: no collect_cls_attns kwarg — the fallback apply path
+    from dense2sparse_vit_tpu.models.dynamic_vit_default import (
+        DynamicViTStudent,
+    )
+
+    g = DynamicViTStudent(
+        cfg=TINY,
+        pruning=PruningConfig(
+            pruning_locs=(1,), keep_ratios=(0.5,), selection="gumbel"
+        ),
+    )
+    gv = g.init(jr.PRNGKey(3), imgs[:1])
+    fn = load_exported(export_student(g, gv, batch_size=2))
+    want = g.apply(gv, imgs).logits
+    np.testing.assert_allclose(
+        np.asarray(fn(imgs)), np.asarray(want.astype(jnp.float32)),
+        rtol=1e-5, atol=1e-5,
+    )

@@ -116,6 +116,24 @@ class TestRunExperiment:
         steps_after = CheckpointManager(str(tmp_path / "ckpt")).latest_step()
         assert steps_after == steps_before
 
+    def test_eval_only_without_checkpoint_raises(self, data_dir, tmp_path):
+        cfg = ExperimentConfig(
+            model=ModelConfig(
+                img_size=32, patch_size=8, embed_dim=16, depth=2,
+                num_heads=2, num_classes=3,
+            ),
+            pruning=PruningConfig(pruning_locs=(1,), keep_ratios=(0.5,)),
+            train=TrainConfig(batch_size=8, epochs=1, warmup_epochs=1),
+            data=DataConfig(
+                imgnet_val_dir=data_dir, num_classes=3,
+                eval_resize=36, eval_crop=32, mixup=0.0, cutmix=0.0,
+            ),
+        )
+        with pytest.raises(FileNotFoundError, match="eval-only"):
+            run_experiment(
+                cfg, str(tmp_path / "empty"), resume=True, eval_only=True
+            )
+
     def test_grad_accum_epoch(self, data_dir, tmp_path):
         """--grad-accum-steps through the full driver: micro-steps thread
         the MultiSteps optimizer state, loss stays finite."""
