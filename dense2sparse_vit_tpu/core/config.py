@@ -20,6 +20,9 @@ class ModelConfig:
 
     img_size: int = 224
     patch_size: int = 16
+    # input channels — informational: flax's Conv infers C from the input
+    # array, so PatchEmbed honors whatever the pipeline ships; the field
+    # exists for constructor parity (dynamic_vit.py:644) and config dumps
     in_chans: int = 3
     num_classes: int = 1000
     embed_dim: int = 384
@@ -95,6 +98,9 @@ class PruningConfig:
     # keep counts are data-dependent so compute stays static-shape and masked
     # (reference --patch-score-threshold; dynamic_vit.py:880-894)
     patch_score_threshold: Optional[float] = None
+    # parity-only: the reference stores this constructor arg and never reads
+    # it anywhere (dynamic_vit.py:651,741 are its only occurrences); kept so
+    # configs round-trip, intentionally unconsumed here too
     attn_selection_threshold: float = 0.0
     # predictor head (reference --small-predictor / --predictor-bn)
     small_predictor: bool = False

@@ -84,7 +84,7 @@ class TestParallelHelpers:
     def test_all_reduce_mean_under_shard_map(self):
         from functools import partial
 
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         from dense2sparse_vit_tpu.parallel import all_reduce_mean
 
