@@ -266,6 +266,13 @@ def main(argv: Optional[Sequence[str]] = None):  # pragma: no cover - thin
     from dense2sparse_vit_tpu.train.loop import run_experiment
 
     cfg, args = parse_config(argv)
+    if args.use_ddp or args.use_dp:
+        # reference: mp.spawn process-per-GPU DDP (mask_predictor.py:160-162)
+        print(
+            "note: --use-ddp/--use-dp are inert here — SPMD already shards "
+            "the batch over all local devices; for multi-host use the "
+            "--dist-* flags"
+        )
     maybe_initialize_distributed(
         coordinator_address=args.dist_coordinator,
         num_processes=args.dist_num_processes,

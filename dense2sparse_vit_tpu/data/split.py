@@ -56,3 +56,27 @@ def split_imagenet_validation_set(
         n_train += len(train_files)
         n_val += len(val_files)
     return n_train, n_val
+
+
+def main():  # pragma: no cover - thin CLI (split_imagenet_validation_set.py)
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Offline per-class train/val split of an ImageFolder dir"
+    )
+    p.add_argument("src_dir", help="source dir with one folder per class")
+    p.add_argument("dst_train")
+    p.add_argument("dst_val")
+    p.add_argument("--val-fraction", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args()
+    n_train, n_val = split_imagenet_validation_set(
+        args.src_dir, args.dst_train, args.dst_val,
+        val_fraction=args.val_fraction, seed=args.seed,
+    )
+    print(f"train: {n_train} files -> {args.dst_train}")
+    print(f"val:   {n_val} files -> {args.dst_val}")
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

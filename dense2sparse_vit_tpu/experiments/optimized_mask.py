@@ -132,3 +132,41 @@ def run_optimized_mask(
                 patch_size=cfg.patch_size,
             )
     return mask_logits, history
+
+
+def main():  # pragma: no cover - thin CLI (optimized_mask.py:152-233)
+    import argparse
+
+    from dense2sparse_vit_tpu.core.config import DataConfig
+    from dense2sparse_vit_tpu.data import ImageFolder, eval_transform
+
+    p = argparse.ArgumentParser(
+        description="Optimize per-patch mask logits for one fixed batch"
+    )
+    p.add_argument("--imgnet-val-dir", required=True)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--save-path", default="test_imgs/")
+    p.add_argument("--viz-every", type=int, default=10)
+    p.add_argument("--mask-block", type=int, default=7)
+    p.add_argument("--seed", type=int, default=212)
+    args = p.parse_args()
+
+    ds = ImageFolder(args.imgnet_val_dir, eval_transform(DataConfig()))
+    n = min(len(ds), args.batch_size)
+    pairs = [ds[i] for i in range(n)]
+    images = jnp.asarray(np.stack([im for im, _ in pairs]))
+    labels = jnp.asarray(np.array([y for _, y in pairs]))
+    os.makedirs(args.save_path, exist_ok=True)
+    _, history = run_optimized_mask(
+        images, labels, num_epochs=args.epochs, seed=args.seed,
+        save_dir=args.save_path, viz_every=args.viz_every,
+        mask_block=args.mask_block,
+    )
+    for epoch, metrics in enumerate(history):
+        line = " ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items()))
+        print(f"epoch {epoch}: {line}")
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()
