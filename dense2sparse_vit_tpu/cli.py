@@ -122,6 +122,8 @@ def build_parser() -> argparse.ArgumentParser:
     # update (effective batch = batch-size * k); single-chip lever for
     # large effective batches
     p.add_argument("--grad-accum-steps", default=1, type=int)
+    # the reference hardcodes seed 42 (mask_predictor.py:43-50); exposed here
+    p.add_argument("--seed", default=42, type=int)
     # flattened AdamW is the DP default; --no-flat-optimizer restores the
     # per-leaf multi_transform form (tensor-parallel runs, or resuming a
     # checkpoint saved with the per-leaf optimizer state)
@@ -220,6 +222,7 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
         device_cache_gb=args.device_cache_gb,
         grad_accum_steps=args.grad_accum_steps,
         flat_optimizer=args.flat_optimizer,
+        seed=args.seed,
     )
     data = DataConfig(
         imgnet_val_dir=args.imgnet_val_dir,

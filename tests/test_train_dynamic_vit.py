@@ -140,6 +140,16 @@ class TestRunExperimentGumbel:
         assert cfg.train.grad_accum_steps == 4
         assert cfg.model.remat is True
 
+    def test_cli_seed_flag(self):
+        """--seed reaches TrainConfig (the reference hardcodes 42,
+        mask_predictor.py:43-50); default stays 42."""
+        from dense2sparse_vit_tpu.cli import parse_config
+
+        cfg, _ = parse_config(["--arch", "deit_tiny", "--seed", "7"])
+        assert cfg.train.seed == 7
+        cfg, _ = parse_config(["--arch", "deit_tiny"])
+        assert cfg.train.seed == 42
+
     def test_cli_rejects_mismatched_img_size_and_eval_crop(self):
         """--img-size without a matching --eval-crop must fail up front,
         not deep inside patch-embed broadcasting."""
