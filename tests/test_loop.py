@@ -193,6 +193,40 @@ class TestRunExperiment:
         # only epoch 2 was trained after resume — epochs 0/1 not re-run
         assert trained == [2]
 
+    def test_seed_determinism(self, data_dir, tmp_path):
+        """Aux subsystem #2 (determinism): two runs with the same --seed are
+        bit-identical through the full stochastic path (shuffle, augment,
+        mixup, device-side erasing, dropout-free tiny model); a different
+        seed diverges. The reference seeds torch/np globally
+        (mask_predictor.py:43-50); here every stream hangs off
+        TrainConfig.seed."""
+
+        def run(seed, tag):
+            cfg = ExperimentConfig(
+                model=ModelConfig(
+                    img_size=32, patch_size=8, embed_dim=16, depth=2,
+                    num_heads=2, num_classes=3,
+                ),
+                pruning=PruningConfig(pruning_locs=(1,), keep_ratios=(0.5,)),
+                train=TrainConfig(
+                    batch_size=8, epochs=1, warmup_epochs=1, seed=seed
+                ),
+                data=DataConfig(
+                    imgnet_val_dir=data_dir, num_classes=3,
+                    eval_resize=36, eval_crop=32, mixup=0.2, cutmix=0.0,
+                ),
+            )
+            wd = tmp_path / tag
+            run_experiment(cfg, str(wd), max_steps_per_epoch=2)
+            lines = [json.loads(l) for l in open(wd / "metrics.jsonl")]
+            return [l["train/loss"] for l in lines if "train/loss" in l]
+
+        a = run(7, "a")
+        b = run(7, "b")
+        c = run(8, "c")
+        assert a and a == b
+        assert a != c
+
     def test_teacher_cache_epoch(self, data_dir, tmp_path):
         """--teacher-cache end-to-end: pre-pass fills the cache, the epoch
         trains from it (no live teacher forward), metrics stay finite."""
