@@ -118,6 +118,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval-resize", default=256, type=int)
     p.add_argument("--eval-crop", default=224, type=int)
     p.add_argument("--use-fused-attention", action="store_true", default=False)
+    # int8 PTQ serving path (eval/--eval-only/export only; training stays
+    # bf16/fp32). Requires --use-fused-attention.
+    p.add_argument("--quant", default="none", choices=["none", "int8"])
     # gradient accumulation: average grads over k micro-steps per optimizer
     # update (effective batch = batch-size * k); single-chip lever for
     # large effective batches
@@ -172,6 +175,7 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
         num_classes=args.num_classes,
         dtype=args.dtype,
         use_fused_attention=args.use_fused_attention,
+        quant=args.quant,
         remat=args.remat,
     )
     if args.dynamic_vit_baseline:

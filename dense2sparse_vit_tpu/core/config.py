@@ -41,11 +41,25 @@ class ModelConfig:
     # jnp reference path is used automatically wherever CLS-attention
     # capture or attention dropout is required
     use_fused_attention: bool = False
+    # "int8": post-training-quantized projections on the deterministic
+    # dense serving path (ops/pallas/quant.py) — eval/export only;
+    # training and policy-mask paths stay bf16/fp32. No reference
+    # counterpart (beyond-parity serving machinery).
+    quant: str = "none"
     # rematerialize encoder blocks under grad (jax.checkpoint): trades
     # recompute FLOPs for activation memory — the lever for ViT-L/H-scale
     # training (no reference counterpart; torch calls this
     # activation/gradient checkpointing)
     remat: bool = False
+
+    def __post_init__(self):
+        if self.quant not in ("none", "int8"):
+            raise ValueError(f"unknown quant mode {self.quant!r}")
+        if self.quant == "int8" and not self.use_fused_attention:
+            raise ValueError(
+                "quant='int8' runs through the fused block kernels; set "
+                "use_fused_attention=True"
+            )
 
     @property
     def num_patches(self) -> int:

@@ -191,6 +191,7 @@ class DiffPruningStudent(nn.Module):
                 layer_norm_eps=cfg.layer_norm_eps,
                 dtype=dtype,
                 use_fused=cfg.use_fused_attention,
+                quant=cfg.quant,
                 name=f"blocks_{i}",
             )
             is_pruning_layer = i in pr.pruning_locs

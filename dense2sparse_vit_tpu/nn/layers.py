@@ -201,6 +201,10 @@ class Block(nn.Module):
     layer_norm_eps: float = 1e-6
     dtype: Dtype = jnp.float32
     use_fused: bool = False
+    # "int8": post-training-quantized projections on the deterministic
+    # dense serving path (ops/pallas/quant.py). Training / policy-mask /
+    # CLS-capture calls fall through to the bf16 paths unchanged.
+    quant: str = "none"
 
     @nn.compact
     def __call__(
@@ -288,6 +292,23 @@ class Block(nn.Module):
                 "b2": p["mlp"]["fc2"]["bias"],
             }
             sc = self.qk_scale or head_dim ** -0.5
+            if (
+                self.quant == "int8"
+                and deterministic
+                and policy is None
+                and not return_cls_attn
+            ):
+                # quantized serving path: int8 MXU projections
+                # (ops/pallas/quant.py); under AOT export the per-call
+                # weight quantization constant-folds away
+                from dense2sparse_vit_tpu.ops.pallas.quant import (
+                    fused_transformer_block_int8,
+                )
+
+                return fused_transformer_block_int8(
+                    x, pd, self.num_heads, scale=sc,
+                    ln_eps=self.layer_norm_eps,
+                )
             branch_scales = None
             if dp_only and not deterministic:
                 # stochastic depth: Bernoulli(keep)/keep per sample per

@@ -6,6 +6,7 @@
 #   2. bench_train.py     — train-step sweep incl. cached-teacher rows
 #   3. scripts/e2e_epoch.py — device-resident end-to-end epoch rows
 #   4. scripts/profile_roofline.py — per-kernel MFU table
+#   5. bench_zoo.py / bench_serve.py — zoo sweep + AOT serving-path numbers
 #
 # Probes the tunnel first (bounded); every artifact lands under
 # bench_results/r4/ with a timestamp so BENCHMARKS.md rows can be re-stamped
@@ -41,5 +42,6 @@ run bench_train  1800 python bench_train.py
 run e2e_epoch    1800 python scripts/e2e_epoch.py
 run roofline     1800 python scripts/profile_roofline.py
 run bench_zoo    1800 python bench_zoo.py
+run bench_serve  1800 python bench_serve.py
 
 echo "queue done; artifacts in $OUT (stamp $STAMP)"
