@@ -147,6 +147,7 @@ class _DeiTBase(nn.Module):
             layer_norm_eps=cfg.layer_norm_eps,
             dtype=jnp.dtype(cfg.dtype),
             use_fused=cfg.use_fused_attention,
+        quant=cfg.quant,
             name=f"blocks_{i}",
         )
 

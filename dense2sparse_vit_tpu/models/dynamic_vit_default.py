@@ -135,6 +135,7 @@ class DynamicViTStudent(nn.Module):
                 layer_norm_eps=cfg.layer_norm_eps,
                 dtype=dtype,
                 use_fused=cfg.use_fused_attention,
+            quant=cfg.quant,
                 name=f"blocks_{i}",
             )
             if i in pr.pruning_locs:

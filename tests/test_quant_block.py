@@ -191,6 +191,32 @@ class TestModelWiring:
         )
         assert cos > 0.99, f"int8 logits diverged: cos={cos:.4f}"
 
+    def test_vanilla_deit_threads_quant(self, monkeypatch):
+        """The zoo-wide threading: a plain DeiT (the dense serving
+        baseline) built with quant='int8' also dispatches to the int8
+        kernel on its deterministic forward."""
+        from dense2sparse_vit_tpu.models import create_model
+
+        calls = []
+        orig = Q.fused_transformer_block_int8
+
+        def spy(*a, **kw):
+            calls.append(1)
+            return orig(*a, **kw, interpret=True)
+
+        monkeypatch.setattr(Q, "fused_transformer_block_int8", spy)
+        self._interpret_all(monkeypatch)
+        model = create_model(
+            "deit_small_patch16_224",
+            img_size=32, patch_size=8, embed_dim=32, depth=2, num_heads=2,
+            num_classes=5, use_fused_attention=True, quant="int8",
+        )
+        x = jax.random.normal(jax.random.PRNGKey(11), (2, 32, 32, 3))
+        variables = model.init(jax.random.PRNGKey(12), x)
+        logits = model.apply(variables, x, deterministic=True)
+        assert calls, "vanilla DeiT never reached the int8 kernel"
+        assert bool(jnp.all(jnp.isfinite(jnp.asarray(logits))))
+
     def test_int8_export_roundtrip(self, monkeypatch):
         from dense2sparse_vit_tpu.utils.export import (
             export_student,
