@@ -61,6 +61,8 @@ def time_fn(run, params, x):
 
 
 def main():
+    from dense2sparse_vit_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

@@ -61,6 +61,8 @@ def time_fn(run, x, iters, repeats):
 
 
 def main():
+    from dense2sparse_vit_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--batches", type=int, nargs="+",
                    default=[1, 8, 32, 128, 256])
@@ -97,7 +99,9 @@ def main():
         )
         args.batches = [1, 4]
         args.headline_batch = 4
-        args.iters, args.repeats = 2, 1
+        # min-of-5 repeats: with repeats=1 the sub-ms smoke model's
+        # live-vs-served ratio is pure dispatch/GC jitter on a loaded box
+        args.iters, args.repeats = 2, 5
         size = 32
     else:
         # the deployment configuration bench.py headlines: DeiT-S,

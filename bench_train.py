@@ -162,6 +162,8 @@ def run(
 
 
 def main():
+    from dense2sparse_vit_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     rows = {}
     for mode in ("topk", "threshold", "gumbel"):
         t_fused, _ = run(True, mode)

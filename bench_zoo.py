@@ -47,6 +47,8 @@ def time_fn(run, params, x):
 
 
 def main():
+    from dense2sparse_vit_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     from dense2sparse_vit_tpu.models import create_model
 
     images = jax.random.normal(

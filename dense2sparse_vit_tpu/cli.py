@@ -271,7 +271,11 @@ def parse_config(argv: Optional[Sequence[str]] = None):
 def main(argv: Optional[Sequence[str]] = None):  # pragma: no cover - thin
     from dense2sparse_vit_tpu.core.mesh import maybe_initialize_distributed
     from dense2sparse_vit_tpu.train.loop import run_experiment
+    from dense2sparse_vit_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
 
+    enable_compilation_cache()
     cfg, args = parse_config(argv)
     if args.use_ddp or args.use_dp:
         # reference: mp.spawn process-per-GPU DDP (mask_predictor.py:160-162)

@@ -24,6 +24,66 @@ from dense2sparse_vit_tpu.nn.layers import trunc_normal_init
 Dtype = Any
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch.nn.BatchNorm1d running-stat semantics.
+
+    flax.linen.BatchNorm updates the running variance with the BIASED batch
+    variance; torch updates it with the UNBIASED one (Bessel-corrected by
+    n/(n-1) over the n reduced elements) while still normalizing the batch
+    with the biased variance. The reference's BatchNormLayer
+    (/root/reference/vit_models/dynamic_vit.py:350-367) is a plain
+    BatchNorm1d, so matching its trained running stats exactly requires the
+    unbiased update. `momentum` follows the torch convention:
+    new = (1 - momentum) * old + momentum * batch (torch default 0.1, i.e.
+    the same decay as flax momentum=0.9).
+
+    Param/stat names match flax.linen.BatchNorm ("scale"/"bias" in params,
+    "mean"/"var" in batch_stats) so checkpoint converters and GSPMD
+    sharding rules are unaffected. Statistics are computed in float32; under
+    jit+GSPMD the batch reductions run over the global (sharded) batch —
+    XLA inserts the cross-device collectives (synced BN for free).
+    """
+
+    features: int
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, use_running_average: bool):
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32),
+        )
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32),
+        )
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        xf = x.astype(jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            reduce_axes = tuple(range(x.ndim - 1))
+            n = x.size // x.shape[-1]
+            mean = jnp.mean(xf, axis=reduce_axes)
+            # biased variance normalizes the batch (torch semantics)
+            var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean)
+            if not self.is_initializing():
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(self.dtype)
+
+
 class _NormAct(nn.Module):
     """Norm + Dense + activation unit; LN+GELU/ReLU or BN+ReLU per config."""
 
@@ -36,18 +96,13 @@ class _NormAct(nn.Module):
     def __call__(self, x, *, use_running_average: bool = True):
         if self.use_bn:
             # reference BatchNormLayer (dynamic_vit.py:350-367) normalizes the
-            # channel dim across batch AND token axes. Under jit+GSPMD the
-            # batch statistics are computed over the global (sharded) batch
-            # automatically — XLA inserts the collectives, giving synced BN
-            # across devices for free (the reference never ran its BN
-            # predictor under DDP at all).
-            x = nn.BatchNorm(
-                use_running_average=use_running_average,
-                momentum=0.9,
-                epsilon=1e-5,
+            # channel dim across batch AND token axes; TorchBatchNorm pins
+            # the running-stat update (unbiased variance) to torch exactly.
+            x = TorchBatchNorm(
+                features=x.shape[-1],
                 dtype=self.dtype,
                 name="norm",
-            )(x)
+            )(x, use_running_average=use_running_average)
         else:
             # torch nn.LayerNorm default eps (the predictor omits the
             # backbone's eps=1e-6 override, dynamic_vit.py:410-424)
@@ -132,13 +187,11 @@ class PredictorLG(nn.Module):
                 x, use_running_average=use_running_average
             )
         if self.use_bn:
-            x = nn.BatchNorm(
-                use_running_average=use_running_average,
-                momentum=0.9,
-                epsilon=1e-5,
+            x = TorchBatchNorm(
+                features=x.shape[-1],
                 dtype=self.dtype,
                 name="final_norm",
-            )(x)
+            )(x, use_running_average=use_running_average)
         else:
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                              use_fast_variance=False, name="final_norm")(x)
@@ -181,10 +234,9 @@ class PredictorAggregator(nn.Module):
         x = x.transpose(0, 2, 1)
         widths = (self.sequence_length // 2, self.sequence_length // 4, 1)
         for i, w in enumerate(widths):
-            x = nn.BatchNorm(
-                use_running_average=use_running_average, momentum=0.9,
-                epsilon=1e-5, dtype=self.dtype, name=f"out_bn_{i}",
-            )(x)
+            x = TorchBatchNorm(
+                features=x.shape[-1], dtype=self.dtype, name=f"out_bn_{i}",
+            )(x, use_running_average=use_running_average)
             x = nn.Dense(w, dtype=self.dtype, kernel_init=trunc_normal_init,
                          name=f"out_dense_{i}")(x)
             if i < len(widths) - 1:

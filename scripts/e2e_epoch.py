@@ -49,6 +49,8 @@ def build_dataset(root: str, n: int = N_IMAGES):
 
 
 def main():
+    from dense2sparse_vit_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     from dense2sparse_vit_tpu.core.config import (
         DataConfig,
         ExperimentConfig,

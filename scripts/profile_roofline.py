@@ -95,6 +95,8 @@ def _report(tag: str, rows, counts, total, iters, out):
 
 
 def main():
+    from dense2sparse_vit_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     from dense2sparse_vit_tpu.core.config import (
         ExperimentConfig, PruningConfig, TrainConfig, deit_small,
     )

@@ -95,7 +95,7 @@ def _numpy_sd(mapping):
     return {k: v.detach().numpy().copy() for k, v in mapping.items()}
 
 
-def _build_pair(ref, locs, ratios, threshold=None):
+def _build_pair(ref, locs, ratios, threshold=None, predictor_bn=False):
     torch.manual_seed(0)
     rm = ref.VisionTransformerDiffPruning(
         img_size=TINY.img_size, patch_size=TINY.patch_size,
@@ -103,7 +103,7 @@ def _build_pair(ref, locs, ratios, threshold=None):
         num_classes=TINY.num_classes, pruning_loc=list(locs),
         token_ratio=list(ratios), topk_selection=True,
         predictor_loss_type="kl_div", small_predictor=True,
-        patch_score_threshold=threshold,
+        patch_score_threshold=threshold, predictor_bn=predictor_bn,
     )
     torch.manual_seed(1)
     tm = ref.VisionTransformerTeacher(
@@ -114,15 +114,17 @@ def _build_pair(ref, locs, ratios, threshold=None):
     pruning = PruningConfig(
         pruning_locs=tuple(locs), keep_ratios=tuple(ratios),
         small_predictor=True, patch_score_threshold=threshold,
+        predictor_bn=predictor_bn,
     )
     student = DiffPruningStudent(cfg=TINY, pruning=pruning)
     teacher = ViTTeacher(cfg=TINY)
     return rm, tm, student, teacher, pruning
 
 
-def _convert_student(rm, student, images):
+def _convert_student(rm, student, images, with_stats=False):
     variables = student.init(jax.random.PRNGKey(0), jnp.asarray(images))
-    variables = {"params": variables["params"]}
+    if not with_stats:
+        variables = {"params": variables["params"]}
     new_vars, _, skipped = convert_student_state_dict(
         _numpy_sd(rm.state_dict()), variables
     )
@@ -386,6 +388,71 @@ class TestOptimizerUpdateParity:
 
     def test_adamw_decoupled_weight_decay(self, ref, ref_losses, batch):
         self._run(ref, ref_losses, batch, weight_decay=0.05)
+
+
+class TestBNPredictorTrajectoryParity:
+    """Three full train steps with the BatchNorm predictor: final params AND
+    BN running statistics match the reference.
+
+    The one-step tests above never advance BN state; this pins the
+    cross-step threading of the batch_stats collection through the jitted
+    train step and TorchBatchNorm's unbiased running-var update
+    (nn/predictor.py) against the reference's plain BatchNorm1d
+    (dynamic_vit.py:350-367) over a real multi-step optimization trajectory.
+    """
+
+    def test_three_sgd_steps_params_and_running_stats(
+        self, ref, ref_losses, batch
+    ):
+        images, labels = batch
+        locs, ratios = (1,), (0.5,)
+        rm, tm, student, teacher, pruning = _build_pair(
+            ref, locs, ratios, predictor_bn=True
+        )
+        variables = _convert_student(rm, student, images, with_stats=True)
+        tparams = _convert_teacher(tm, teacher, images)
+        cfg = _make_cfg(pruning, warmup_epochs=1)
+        lr = 1e-3
+
+        opt = torch.optim.SGD(rm.parameters(), lr=lr)
+        for _ in range(3):
+            opt.zero_grad(set_to_none=True)
+            loss = _torch_loss(
+                ref_losses, rm, tm, images, labels, ratios,
+                backbone_active=True,
+            )
+            loss.backward()
+            opt.step()
+
+        tx = optax.sgd(lr)
+        state = create_train_state(
+            student, tx, jax.random.PRNGKey(0), jnp.asarray(images[:1])
+        )
+        state = state.replace(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=tx.init(variables["params"]),
+        )
+        step = jax.jit(make_train_step(student, teacher, tx, cfg))
+        for _ in range(3):
+            state, _ = step(
+                state, tparams, jnp.asarray(images), jnp.asarray(labels),
+                jax.random.PRNGKey(3), jnp.float32(5.0),
+            )
+
+        template = student.init(jax.random.PRNGKey(0), jnp.asarray(images))
+        template = jax.tree.map(jnp.zeros_like, template)
+        final_vars, _, skipped = convert_student_state_dict(
+            _numpy_sd(rm.state_dict()), template
+        )
+        assert not [k for k in skipped if "num_batches_tracked" not in k]
+        _assert_trees_close(
+            state.params, final_vars["params"], 1e-3, 5e-5, "params@step3"
+        )
+        _assert_trees_close(
+            state.batch_stats, final_vars["batch_stats"], 1e-3, 5e-5,
+            "batch_stats@step3",
+        )
 
 
 class TestPerturbedTopKParity:
