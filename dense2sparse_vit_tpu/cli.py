@@ -145,6 +145,9 @@ def build_parser() -> argparse.ArgumentParser:
     # padded full-coverage eval (the reference's evaluate_performance is
     # only reachable inside its training loop)
     p.add_argument("--eval-only", action="store_true", default=False)
+    # print pruned-vs-unpruned GFLOPs + ratio at startup via XLA cost
+    # analysis (the reference's commented-out fvcore block, train.py:33-37)
+    p.add_argument("--report-flops", action="store_true", default=False)
     # multi-host (replaces --use-ddp + mp.spawn + NCCL rendezvous,
     # mask_predictor.py:160-162 / ddp_training.py:4-8): run one process per
     # host with the same flags; JAX_COORDINATOR_ADDRESS etc. env vars work too
@@ -293,6 +296,7 @@ def main(argv: Optional[Sequence[str]] = None):  # pragma: no cover - thin
         cfg, args.workdir,
         resume=args.resume or args.eval_only,
         eval_only=args.eval_only,
+        report_flops=args.report_flops,
     )
 
 

@@ -61,6 +61,7 @@ def run_experiment(
     max_steps_per_epoch: Optional[int] = None,
     viz_every: int = 1,
     eval_only: bool = False,
+    report_flops: bool = False,
 ) -> dict:
     """Train the diff-pruning student against a frozen teacher.
 
@@ -231,6 +232,23 @@ def run_experiment(
     state = create_train_state(student, tx, rng, sample)
     if student_params is not None:
         state = state.replace(params=student_params)
+    if report_flops and is_primary():
+        # the reference's commented-out fvcore report (train.py:33-37),
+        # via XLA's own cost analysis of the compiled forward
+        from dense2sparse_vit_tpu.utils.profiling import (
+            pruned_vs_dense_flops,
+        )
+
+        fl_vars = {"params": state.params}
+        if state.batch_stats:
+            fl_vars["batch_stats"] = state.batch_stats
+        fl_kw = {} if gumbel_baseline else {"collect_cls_attns": False}
+        fl = pruned_vs_dense_flops(student, fl_vars, sample, **fl_kw)
+        print(
+            f"Flops [GFLOPs]: Unpruned={fl['dense_gflops']:.2f}, "
+            f"Pruned={fl['pruned_gflops']:.2f}, "
+            f"Ratio={fl['flop_ratio']:.2f}"
+        )
     if teacher_params is None:
         teacher_params = teacher.init(jax.random.fold_in(rng, 1), sample)[
             "params"

@@ -28,6 +28,12 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     env = os.environ.get("D2S_XLA_CACHE_DIR", "")
     if env.lower() in ("off", "0", "none", "disable", "disabled"):
         return None
+    # TPU-only: XLA:CPU persists AOT machine code keyed loosely enough that
+    # reloads across host-feature detection differences emit SIGILL-risk
+    # warnings (cpu_aot_loader). The CPU backend compiles fast anyway; the
+    # win is the ~20-40 s flagship TPU compile.
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return None
     path = path or env or _DEFAULT
     try:
         import jax

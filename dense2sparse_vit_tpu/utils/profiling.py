@@ -60,17 +60,20 @@ def flops_of(fn: Callable, *args) -> float:
     return float(cost.get("flops", 0.0))
 
 
-def pruned_vs_dense_flops(student, params, images) -> Dict[str, float]:
+def pruned_vs_dense_flops(student, params, images, **apply_kwargs) -> Dict[str, float]:
     """GFLOPs of the pruned vs unpruned student forward and their ratio
-    (train.py:33-37 intent)."""
+    (the reference's commented-out fvcore report, train.py:33-37).
+
+    apply_kwargs are forwarded to student.apply — e.g.
+    collect_cls_attns=False for the diff-pruning student; the gumbel
+    baseline takes no such kwarg.
+    """
     pruned = flops_of(
-        lambda p, x: student.apply(p, x, collect_cls_attns=False).logits,
+        lambda p, x: student.apply(p, x, **apply_kwargs).logits,
         params, images,
     )
     dense = flops_of(
-        lambda p, x: student.apply(
-            p, x, unpruned=True, collect_cls_attns=False
-        ).logits,
+        lambda p, x: student.apply(p, x, unpruned=True, **apply_kwargs).logits,
         params, images,
     )
     return {

@@ -37,16 +37,6 @@ def _reexec_env() -> dict:
 
 def pytest_configure(config):
     if not _needs_reexec():
-        # persistent XLA compilation cache: the whole-model parity tests
-        # each pay multi-second CPU compiles; cache them across suite runs
-        sys.path.insert(
-            0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        )
-        from dense2sparse_vit_tpu.utils.compile_cache import (
-            enable_compilation_cache,
-        )
-
-        enable_compilation_cache()
         return
     capman = config.pluginmanager.getplugin("capturemanager")
     if capman is not None:

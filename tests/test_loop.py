@@ -32,7 +32,7 @@ def data_dir(tmp_path_factory):
 
 
 class TestRunExperiment:
-    def test_two_epoch_smoke(self, data_dir, tmp_path):
+    def test_two_epoch_smoke(self, data_dir, tmp_path, capsys):
         cfg = ExperimentConfig(
             arch="tiny_test",
             model=ModelConfig(
@@ -47,7 +47,21 @@ class TestRunExperiment:
             ),
             visualize_patch_drop=True,
         )
-        summary = run_experiment(cfg, str(tmp_path), max_steps_per_epoch=2)
+        summary = run_experiment(
+            cfg, str(tmp_path), max_steps_per_epoch=2, report_flops=True
+        )
+        # --report-flops prints the reference's (commented-out) fvcore
+        # report via XLA cost analysis: pruned / unpruned GFLOPs + ratio
+        flops_lines = [
+            l for l in capsys.readouterr().out.splitlines()
+            if l.startswith("Flops [GFLOPs]:")
+        ]
+        assert flops_lines, "report_flops printed nothing"
+        # at this toy geometry (17 tokens, d=16) the predictor overhead
+        # exceeds the pruning savings, so the ratio may top 1 — assert the
+        # report is well-formed, not the production-scale ratio
+        ratio = float(flops_lines[0].rsplit("Ratio=", 1)[1])
+        assert 0.0 < ratio < 2.0
         assert summary["epochs"] == 2
         # epoch 2's eval re-fed the device batches retained from epoch 1
         assert summary["val_dev_batches"] > 0
