@@ -260,6 +260,101 @@ def _map_student_key(key: str, out_pairs: Dict[int, int]):
     return (pred, unit, "dense", _wb(leaf)), "params", leaf == "weight"
 
 
+def export_student_state_dict(
+    variables,
+    template_sd: Mapping[str, np.ndarray],
+    strict: bool = True,
+) -> Tuple[Dict[str, np.ndarray], list]:
+    """Inverse of convert_student_state_dict: flax variables -> torch
+    state_dict for the reference's own model classes.
+
+    Takes a TPU-trained student (or plain DeiT/teacher) back to the
+    reference torch ecosystem — e.g. evaluating a student trained here with
+    the reference's evaluate.py, or handing weights to fvcore/timm tools.
+    Every forward-conversion layout op is a bijective transpose/reshape, so
+    the export is exact (bit-for-bit round-trip).
+
+    Args:
+      variables: flax params dict or full {'params', 'batch_stats'} dict.
+      template_sd: a state_dict of the TARGET reference module (same
+        geometry) — supplies the torch key set, shapes for the legacy
+        patchify reshape, and the num_batches_tracked counters (flax does
+        not track those; they pass through from the template).
+      strict: raise if a template key has no flax source.
+
+    Returns:
+      (state_dict of numpy arrays, list of passthrough/missing keys).
+    """
+    has_collections = "params" in variables and isinstance(
+        variables["params"], Mapping
+    )
+    params = variables["params"] if has_collections else variables
+    batch_stats = (
+        variables.get("batch_stats", {}) if has_collections else {}
+    )
+
+    out_pairs: Dict[int, int] = {}
+    for k in template_sd:
+        parts = k.split(".")
+        if parts[0] == "score_predictor" and parts[2] == "out_conv":
+            p, j = int(parts[1]), int(parts[3]) // 3
+            out_pairs[p] = max(out_pairs.get(p, 0), j + 1)
+
+    out: Dict[str, np.ndarray] = {}
+    passthrough: list = []
+    for key, tmpl in template_sd.items():
+        tmpl = np.asarray(tmpl)
+        if key.endswith("num_batches_tracked"):
+            out[key] = tmpl.copy()
+            passthrough.append(key)
+            continue
+        if key.startswith("score_predictor.") or key.startswith(
+            "early_exit_head."
+        ):
+            path, collection, transpose = _map_student_key(key, out_pairs)
+            v = _get(
+                batch_stats if collection == "batch_stats" else params, path
+            )
+            if v is None:
+                if strict:
+                    raise KeyError(f"no flax source for {key} (path {path})")
+                passthrough.append(key)
+                out[key] = tmpl.copy()
+                continue
+            v = np.asarray(v)
+            if transpose:
+                v = v.T
+        else:
+            path = _map_key(key, tmpl)
+            v = _get(params, path) if path is not None else None
+            if v is None:
+                if strict:
+                    raise KeyError(f"no flax source for {key} (path {path})")
+                passthrough.append(key)
+                out[key] = tmpl.copy()
+                continue
+            v = np.asarray(v)
+            if key.endswith("patch_embed.proj.weight"):
+                v = v.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+                if tmpl.ndim < 4:  # legacy linear patchify layout
+                    v = v.reshape(tmpl.shape)
+            elif key.endswith(".weight") and v.ndim == 2:
+                v = v.T  # (in,out) -> (out,in)
+            elif key == "pos_embed" and v.shape != tmpl.shape:
+                raise ValueError(
+                    f"pos_embed token count mismatch {v.shape} vs "
+                    f"{tmpl.shape}: export requires the same geometry "
+                    "(there is no inverse of the interpolating resize)"
+                )
+        if v.shape != tmpl.shape:
+            raise ValueError(
+                f"shape mismatch for {key}: flax {v.shape} vs torch "
+                f"{tmpl.shape}"
+            )
+        out[key] = v.astype(tmpl.dtype, copy=False)
+    return out, passthrough
+
+
 def convert_t2t_state_dict(
     state_dict: Mapping[str, np.ndarray],
     params,

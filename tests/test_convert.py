@@ -273,3 +273,88 @@ class TestDistilledConversion:
         out = resize_pos_embed(pe, 2 + 49, n_extra=2)
         assert out.shape == (1, 51, 6)
         np.testing.assert_array_equal(out[:, :2], pe[:, :2])
+
+
+class TestExportRoundTrip:
+    """flax -> torch export is the exact inverse of the import converter.
+
+    Uses the reference's OWN module classes (via the timm shim) so the
+    round trip covers every real key: backbone, qkv, patchify conv,
+    predictor LN/BN stacks (incl. running stats), early-exit head.
+    """
+
+    def _roundtrip(self, sd, student, variables):
+        from dense2sparse_vit_tpu.utils.convert import (
+            convert_student_state_dict,
+            export_student_state_dict,
+        )
+
+        converted, loaded, skipped = convert_student_state_dict(
+            sd, variables
+        )
+        assert not [k for k in skipped if "num_batches_tracked" not in k]
+        exported, passthrough = export_student_state_dict(converted, sd)
+        assert set(exported) == set(sd)
+        assert all(k.endswith("num_batches_tracked") for k in passthrough)
+        for k in sd:
+            np.testing.assert_array_equal(
+                exported[k], np.asarray(sd[k]), err_msg=k
+            )
+
+    def test_student_bn_early_exit_bit_exact(self):
+        from reference_loader import load_reference_module
+
+        ref = load_reference_module("dynamic_vit")
+        torch.manual_seed(3)
+        rm = ref.VisionTransformerDiffPruning(
+            img_size=32, patch_size=8, embed_dim=24, depth=2, num_heads=2,
+            num_classes=5, pruning_loc=[1], token_ratio=[0.5],
+            topk_selection=True, predictor_loss_type="kl_div",
+            small_predictor=True, predictor_bn=True, early_exit=True,
+        )
+        # advance BN stats so the round trip moves real values, not (0, 1)
+        rm.train()
+        with torch.no_grad():
+            rm(torch.randn(2, 3, 32, 32))
+        sd = {k: v.detach().numpy().copy() for k, v in rm.state_dict().items()}
+        student = DiffPruningStudent(
+            cfg=CFG.replace(embed_dim=24),
+            pruning=PruningConfig(
+                pruning_locs=(1,), keep_ratios=(0.5,), small_predictor=True,
+                predictor_bn=True, early_exit=True,
+            ),
+        )
+        variables = student.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))
+        )
+        self._roundtrip(
+            sd, student,
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]},
+        )
+
+    def test_teacher_bit_exact(self):
+        from reference_loader import load_reference_module
+        from dense2sparse_vit_tpu.utils.convert import (
+            export_student_state_dict,
+        )
+
+        ref = load_reference_module("dynamic_vit")
+        torch.manual_seed(4)
+        tm = ref.VisionTransformerTeacher(
+            img_size=32, patch_size=8, embed_dim=24, depth=2, num_heads=2,
+            num_classes=5,
+        )
+        sd = {k: v.detach().numpy().copy() for k, v in tm.state_dict().items()}
+        teacher = ViTTeacher(cfg=CFG.replace(embed_dim=24))
+        params = teacher.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3))
+        )["params"]
+        new_params, _, skipped = convert_deit_state_dict(sd, params)
+        assert not skipped
+        exported, passthrough = export_student_state_dict(new_params, sd)
+        assert not passthrough
+        for k in sd:
+            np.testing.assert_array_equal(
+                exported[k], np.asarray(sd[k]), err_msg=k
+            )
