@@ -20,3 +20,6 @@ from dense2sparse_vit_tpu.utils.export import (  # noqa: F401
     export_student,
     load_exported,
 )
+from dense2sparse_vit_tpu.utils.serving import (  # noqa: F401
+    ServingModel,
+)
