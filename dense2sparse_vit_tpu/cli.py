@@ -148,6 +148,10 @@ def build_parser() -> argparse.ArgumentParser:
     # print pruned-vs-unpruned GFLOPs + ratio at startup via XLA cost
     # analysis (the reference's commented-out fvcore block, train.py:33-37)
     p.add_argument("--report-flops", action="store_true", default=False)
+    # after training (or with --eval-only), save deployable AOT serving
+    # artifacts for the best checkpoint (utils/serving.py::ServingModel)
+    p.add_argument("--export-serving", type=str, default=None,
+                   metavar="DIR")
     # multi-host (replaces --use-ddp + mp.spawn + NCCL rendezvous,
     # mask_predictor.py:160-162 / ddp_training.py:4-8): run one process per
     # host with the same flags; JAX_COORDINATOR_ADDRESS etc. env vars work too
@@ -297,6 +301,7 @@ def main(argv: Optional[Sequence[str]] = None):  # pragma: no cover - thin
         resume=args.resume or args.eval_only,
         eval_only=args.eval_only,
         report_flops=args.report_flops,
+        export_serving=args.export_serving,
     )
 
 

@@ -62,6 +62,7 @@ def run_experiment(
     viz_every: int = 1,
     eval_only: bool = False,
     report_flops: bool = False,
+    export_serving: Optional[str] = None,
 ) -> dict:
     """Train the diff-pruning student against a frozen teacher.
 
@@ -497,6 +498,27 @@ def run_experiment(
             agg = {k: float(v) / total_valid for k, v in agg.items()}
         return agg, total_valid
 
+    def _maybe_export_serving(cur_state):
+        """--export-serving DIR: save deployable AOT serving artifacts
+        (utils/serving.py) for the BEST checkpoint when one exists, else
+        the current weights."""
+        if not export_serving or not is_primary():
+            return
+        exp_state = cur_state
+        if ckpt.best_step() is not None:
+            exp_state = ckpt.restore_best(jax.device_get(cur_state))
+        exp_vars = {"params": exp_state.params}
+        if exp_state.batch_stats:
+            exp_vars["batch_stats"] = exp_state.batch_stats
+        from dense2sparse_vit_tpu.utils.serving import ServingModel
+
+        sm = ServingModel.export(student, jax.device_get(exp_vars))
+        sm.save(export_serving)
+        print(
+            f"serving artifacts -> {export_serving} "
+            f"({'symbolic batch' if not sm.buckets else sm.buckets})"
+        )
+
     if eval_only:
         # evaluating a random init would silently report chance-level
         # accuracy as if it were the model's — require restored or
@@ -511,6 +533,7 @@ def run_experiment(
             logger.log(agg, start_epoch, prefix="val")
         summary = {"eval_only": True, "epochs": 0, **agg}
         logger.summary(summary)
+        _maybe_export_serving(state)
         logger.close()
         ckpt.close()
         return summary
@@ -631,6 +654,7 @@ def run_experiment(
         "augmented_train_uint8_stream": train_prep is not None,
     }
     logger.summary(summary)
+    _maybe_export_serving(state)
     logger.close()
     ckpt.close()
     return summary

@@ -97,3 +97,49 @@ class TestSaveLoad:
             loaded(x), _live_logits(student, variables, x),
             rtol=1e-4, atol=1e-4,
         )
+
+
+class TestDriverExport:
+    def test_cli_train_then_export_serving(self, tmp_path):
+        """2-step training run via run_experiment with export_serving: the
+        saved artifact dir serves any batch with no model build."""
+        import os
+        from PIL import Image
+        from dense2sparse_vit_tpu.core.config import (
+            DataConfig, ExperimentConfig, TrainConfig,
+        )
+        from dense2sparse_vit_tpu.train.loop import run_experiment
+
+        root = tmp_path / "ds"
+        rng = np.random.default_rng(0)
+        for c in range(2):
+            d = root / f"class_{c}"
+            os.makedirs(d)
+            for i in range(12):
+                Image.fromarray(
+                    rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+                ).save(d / f"{i}.jpg")
+
+        art = str(tmp_path / "artifacts")
+        cfg = ExperimentConfig(
+            model=CFG.replace(num_classes=2),
+            pruning=PruningConfig(pruning_locs=(1,), keep_ratios=(0.5,)),
+            train=TrainConfig(batch_size=8, epochs=1, warmup_epochs=1),
+            data=DataConfig(
+                imgnet_val_dir=str(root), num_classes=2,
+                eval_resize=36, eval_crop=32, mixup=0.0, cutmix=0.0,
+                reprob=0.0,
+            ),
+        )
+        run_experiment(
+            cfg, str(tmp_path / "wd"), max_steps_per_epoch=2,
+            export_serving=art,
+        )
+        assert os.path.exists(os.path.join(art, "manifest.json"))
+        sm = ServingModel.load(art)
+        x = np.random.default_rng(1).normal(size=(3, 32, 32, 3)).astype(
+            np.float32
+        )
+        out = sm(x)
+        assert out.shape == (3, 2)
+        assert np.all(np.isfinite(out))
