@@ -505,7 +505,10 @@ def run_experiment(
         if not export_serving or not is_primary():
             return
         exp_state = cur_state
-        if ckpt.best_step() is not None:
+        # multi-host: orbax restore is a collective; a host-0-only restore
+        # would deadlock the fleet. Export the in-memory weights instead
+        # (identical when the final epoch is the best one).
+        if jax.process_count() == 1 and ckpt.best_step() is not None:
             exp_state = ckpt.restore_best(jax.device_get(cur_state))
         exp_vars = {"params": exp_state.params}
         if exp_state.batch_stats:
