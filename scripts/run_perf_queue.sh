@@ -1,47 +1,89 @@
 #!/usr/bin/env bash
-# Round-4 on-chip perf recapture queue (VERDICT r3 "Next round" #2).
+# On-chip perf capture queue (VERDICT r4 "Next round" #2).
 #
-# Everything the round-3 outage left driver-unconfirmed, in priority order:
+# Everything that needs a driver-auditable on-chip number, in priority order:
 #   1. bench.py           — headline inference metric (outage-hardened)
 #   2. bench_train.py     — train-step sweep incl. cached-teacher rows
 #   3. scripts/e2e_epoch.py — device-resident end-to-end epoch rows
 #   4. scripts/profile_roofline.py — per-kernel MFU table
 #   5. bench_zoo.py / bench_serve.py — zoo sweep + AOT serving-path numbers
 #
-# Probes the tunnel first (bounded); every artifact lands under
-# bench_results/r4/ with a timestamp so BENCHMARKS.md rows can be re-stamped
-# as on-chip confirmed.
+# Resumable (VERDICT r4 weak #5): an entry is SKIPPED when a log for the
+# current git HEAD already ends in rc=0 — so the queue can be re-run across
+# short tunnel windows and only captures what is still missing. Progress is
+# keyed on HEAD: change the code, and the entries re-measure.
+#
+# Probe behavior: instead of aborting on the first probe miss, the queue
+# waits (bounded) for the tunnel to come back between entries.
 set -u
 cd "$(dirname "$0")/.."
-OUT=bench_results/r4
+OUT=${D2S_QUEUE_OUT:-bench_results/r5}
 mkdir -p "$OUT"
+HEAD=$(git rev-parse --short HEAD)
 STAMP=$(date -u +%Y%m%dT%H%M%SZ)
+# total probe-wait budget across the whole queue run (seconds)
+PROBE_BUDGET=${D2S_QUEUE_PROBE_BUDGET:-1800}
 
-echo "== probe =="
-if ! timeout 120 python -c "import jax, jax.numpy as jnp; print(jax.devices()); print('PROBE_OK', float(jnp.ones((128,128)).sum()))"; then
-    echo "tunnel down; aborting queue" >&2
-    exit 2
-fi
+probe() {
+    timeout 120 python - <<'EOF'
+import jax, jax.numpy as jnp
+print(jax.devices())
+print("PROBE_OK", float(jnp.ones((128, 128)).sum()))
+EOF
+}
+
+wait_for_tunnel() {
+    # Returns 0 once a probe succeeds; burns from the shared PROBE_BUDGET.
+    while true; do
+        if probe; then return 0; fi
+        if [ "$PROBE_BUDGET" -le 0 ]; then
+            echo "probe budget exhausted; tunnel still down" >&2
+            return 1
+        fi
+        echo "tunnel down; waiting 60s (budget ${PROBE_BUDGET}s left)" >&2
+        sleep 60
+        PROBE_BUDGET=$((PROBE_BUDGET - 180))
+    done
+}
+
+have_result() {
+    # rc=0 log for this entry at the current HEAD?
+    for f in "$OUT"/"$1"_*.log; do
+        [ -e "$f" ] || return 1
+        if grep -q "^head=$HEAD\$" "$f" 2>/dev/null \
+            && grep -q "^rc=0\$" "$f" 2>/dev/null; then
+            return 0
+        fi
+    done
+    return 1
+}
 
 run() {
     name=$1; budget=$2; shift 2
+    if have_result "$name"; then
+        echo "== $name == (skipped: rc=0 log for HEAD $HEAD exists)"
+        return 0
+    fi
+    wait_for_tunnel || return 1
     echo "== $name =="
-    timeout "$budget" "$@" > "$OUT/${name}_${STAMP}.log" 2>&1
+    log="$OUT/${name}_${STAMP}.log"
+    echo "head=$HEAD" > "$log"
+    timeout "$budget" "$@" >> "$log" 2>&1
     rc=$?
-    echo "rc=$rc" >> "$OUT/${name}_${STAMP}.log"
-    tail -5 "$OUT/${name}_${STAMP}.log"
+    echo "rc=$rc" >> "$log"
+    tail -5 "$log"
 }
 
 # bench.py's own probe/retry budget must fit INSIDE its outer timeout, or a
-# mid-run relay hang kills it before the guaranteed JSON line: bound the
-# child run at 900s and give the wrapper 3 attempts' worth of headroom
-# (3 x (90s probe + 900s run) + sleeps ~= 3100s)
-export D2S_BENCH_PROBE_TIMEOUT=90 D2S_BENCH_RUN_TIMEOUT=900
-run bench        3300 python bench.py
+# mid-run relay hang kills it before the guaranteed JSON line
+export D2S_BENCH_PROBE_TIMEOUT=90 D2S_BENCH_RUN_TIMEOUT=600
+run bench        1500 python bench.py
 run bench_train  1800 python bench_train.py
 run e2e_epoch    1800 python scripts/e2e_epoch.py
 run roofline     1800 python scripts/profile_roofline.py
 run bench_zoo    1800 python bench_zoo.py
 run bench_serve  1800 python bench_serve.py
 
-echo "queue done; artifacts in $OUT (stamp $STAMP)"
+# stamp the machine-readable summary the docs are generated from
+python scripts/collect_measurements.py --dir "$OUT" || true
+echo "queue done; artifacts in $OUT (stamp $STAMP, head $HEAD)"
