@@ -1,0 +1,269 @@
+"""A/B experiment: forward attention half-block kernel variants, on chip.
+
+VERDICT r4 "Next round" #4: close the fused-forward MFU gap (47% -> >=55%).
+BENCHMARKS.md names the floor: per-head (N x 64) attention dots run <=50%
+MXU utilization (d=64 underfills the 128-lane tile) and the softmax VPU
+chain (iota pad-mask + clip + exp over N^2 per head) only partially overlaps
+the MXU. This script times isolated candidate kernels against the shipped
+one at the flagship stage lengths and checks numerics, so only measured
+winners get integrated into ops/pallas/attention.py.
+
+Variants (inference fast path: non-exact softmax, no policy, no CLS out):
+  v0  shipped fused_attention_block (baseline)
+  v1  pad-free softmax: padded k-rows are zeroed by the kernel, so their
+      scores are exactly 0 and exp(0)=1 — subtract the static pad count
+      from the denominator instead of building an (nb, N, N) iota mask and
+      where(). Exact same algebra, three VPU ops fewer per N^2 element.
+  v2  v1 + sum/difference head pairing: for heads (a, b),
+        [qa|qb] @ [ka|kb]^T = Sa + Sb        (128-lane contraction)
+        [qa|-qb] @ [ka|kb]^T = Sa - Sb       (128-lane contraction)
+      recovers both heads' scores from two FULL-width MXU dots (100%
+      utilization) instead of two half-width ones (50%), same FLOPs, plus
+      two cheap VPU add/sub passes; 0.5x folds into the softmax scale.
+  v3  v1 + two-phase schedule: all QK^T dots first, then all exp chains,
+      then all AV dots — hands Mosaic maximally independent MXU/VPU chains
+      to overlap (the per-head loop interleaves them with data deps).
+
+Usage (on chip):  PYTHONPATH=/root/repo:/root/.axon_site \
+    python scripts/attn_variants.py
+CPU smoke:        JAX_PLATFORMS=cpu python scripts/attn_variants.py --interpret
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PEAK_BF16 = 197e12
+B = 256
+C = 384
+HEADS = 6
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _variant_kernel(x_ref, wqkv_ref, cs_ref, b1p_ref, wproj_ref, bproj_ref,
+                    out_ref, *, scale, ln_eps, n_valid, num_heads, head_dim,
+                    variant):
+    nb, np_, c = x_ref.shape
+    rows = nb * np_
+    hd = num_heads * head_dim
+    n = np_
+
+    x2 = x_ref[:].reshape(rows, c)
+    x32 = x2.astype(jnp.float32)
+    ones_c = jnp.ones((c, 8), jnp.float32)
+    sm = jax.lax.dot_general(
+        x32, ones_c, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)[:, :1]
+    qm = jax.lax.dot_general(
+        x32 * x32, ones_c, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)[:, :1]
+    mu = sm / c
+    var = qm / c - mu * mu
+    rr = jax.lax.rsqrt(var + ln_eps)
+    t = jax.lax.dot_general(
+        x2, wqkv_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    rowtok = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % n
+    row_valid = (rowtok < n_valid).astype(jnp.float32)
+    qkv = (
+        (rr * t - (rr * mu) * cs_ref[:].astype(jnp.float32)
+         + b1p_ref[:].astype(jnp.float32)) * row_valid
+    ).astype(x2.dtype).reshape(nb, n, 3 * hd)
+
+    n_pad = n - n_valid  # exp(0) = 1 per padded column, removed from den
+
+    def qk(qh, kh):
+        return jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+    def softmax_e(s):
+        # pad-free: padded cols carry s=0 -> e=1, corrected in den
+        return jnp.exp(jnp.clip(s * scale, -30.0, 30.0))
+
+    def av(e_b, vh):
+        ones_cols = 128 - head_dim
+        v_ext = jnp.concatenate(
+            [vh, jnp.ones((nb, n, ones_cols), vh.dtype)], axis=2)
+        o_ext = jax.lax.dot_general(
+            e_b, v_ext, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        num = o_ext[:, :, :head_dim]
+        den = o_ext[:, :, head_dim:head_dim + 8][:, :, :1] - float(n_pad)
+        return num / den
+
+    def slices(h):
+        o = h * head_dim
+        return (qkv[:, :, o:o + head_dim],
+                qkv[:, :, hd + o:hd + o + head_dim],
+                qkv[:, :, 2 * hd + o:2 * hd + o + head_dim])
+
+    head_outs = [None] * num_heads
+    if variant == 2:
+        # sum/difference head pairing: both dots contract over 2*head_dim
+        for a in range(0, num_heads, 2):
+            qa, ka, va = slices(a)
+            qb, kb, vb = slices(a + 1)
+            kab = jnp.concatenate([ka, kb], axis=2)
+            s_sum = qk(jnp.concatenate([qa, qb], axis=2), kab)
+            s_dif = qk(jnp.concatenate([qa, -qb], axis=2), kab)
+            ea = softmax_e(0.5 * (s_sum + s_dif))
+            eb = softmax_e(0.5 * (s_sum - s_dif))
+            head_outs[a] = av(ea.astype(va.dtype), va)
+            head_outs[a + 1] = av(eb.astype(vb.dtype), vb)
+    elif variant == 3:
+        ss = [qk(*slices(h)[:2]) for h in range(num_heads)]
+        es = [softmax_e(s).astype(x2.dtype) for s in ss]
+        head_outs = [av(es[h], slices(h)[2]) for h in range(num_heads)]
+    else:
+        for h in range(num_heads):
+            qh, kh, vh = slices(h)
+            e = softmax_e(qk(qh, kh))
+            head_outs[h] = av(e.astype(vh.dtype), vh)
+
+    attn_out = jnp.concatenate(
+        [o.astype(x2.dtype) for o in head_outs], axis=2).reshape(rows, hd)
+    proj = jax.lax.dot_general(
+        attn_out, wproj_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bproj_ref[:].astype(jnp.float32)
+    out_ref[:] = (x32 + proj).reshape(nb, np_, c).astype(out_ref.dtype)
+
+
+def run_variant(variant, x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                num_heads=HEADS, block_batch=8, interpret=False):
+    Bx, N, Cx = x.shape
+    head_dim = Cx // num_heads
+    scale = head_dim ** -0.5
+    dtype = x.dtype
+    Np = _round_up(N, 16)
+    pad = Np - N
+    xp = jnp.pad(x, [(0, 0), (0, pad), (0, 0)]) if pad else x
+    nb = block_batch
+    while Bx % nb:
+        nb //= 2
+    wqkv_s = (ln_scale.astype(jnp.float32)[:, None]
+              * wqkv.astype(jnp.float32)).astype(dtype)
+    cs = jnp.sum(wqkv_s.astype(jnp.float32), axis=0, keepdims=True)
+    b1p = (ln_bias.astype(jnp.float32) @ wqkv.astype(jnp.float32)
+           + bqkv.astype(jnp.float32))[None, :]
+    operands = [xp, wqkv_s, cs, b1p, wproj.astype(dtype),
+                bproj.astype(jnp.float32)[None, :]]
+    in_specs = [pl.BlockSpec((nb, Np, Cx), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    for op in operands[1:]:
+        in_specs.append(pl.BlockSpec(op.shape, lambda b, nd=op.ndim: (0,) * nd,
+                                     memory_space=pltpu.VMEM))
+    kernel = functools.partial(
+        _variant_kernel, scale=scale, ln_eps=1e-6, n_valid=N,
+        num_heads=num_heads, head_dim=head_dim, variant=variant)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Bx // nb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((nb, Np, Cx), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bx, Np, Cx), dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+    return out[:, :N] if pad else out
+
+
+def chained(fn, iters):
+    @jax.jit
+    def run(x, *rest):
+        def body(carry, _):
+            out = fn(x * (1.0 + 1e-6 * carry), *rest)
+            return jnp.mean(out).astype(jnp.bfloat16), None
+        final, _ = jax.lax.scan(body, jnp.bfloat16(0.0), None, length=iters)
+        return final
+    return run
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--interpret", action="store_true")
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args(argv)
+
+    from dense2sparse_vit_tpu.ops.pallas.attention import (
+        fused_attention_block,
+    )
+
+    dtype = jnp.bfloat16
+    C_ = 96 if args.interpret else C  # tiny channels for interpret mode
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    ln_scale = jax.random.normal(ks[0], (C_,), jnp.float32) * 0.1 + 1.0
+    ln_bias = jax.random.normal(ks[1], (C_,), jnp.float32) * 0.1
+    wqkv = jax.random.normal(ks[2], (C_, 3 * C_), jnp.float32) * 0.05
+    bqkv = jax.random.normal(ks[3], (3 * C_,), jnp.float32) * 0.05
+    wproj = jax.random.normal(ks[4], (C_, C_), jnp.float32) * 0.05
+    bproj = jax.random.normal(ks[5], (C_,), jnp.float32) * 0.05
+    params = (ln_scale, ln_bias, wqkv, bqkv, wproj, bproj)
+
+    stage_ns = (197, 138, 97, 68) if not args.interpret else (20,)
+    batch = B if not args.interpret else 4
+    iters = args.iters if not args.interpret else 1
+
+    for N in stage_ns:
+        x = (jax.random.normal(ks[6], (batch, N, C_), jnp.float32) * 0.5
+             ).astype(dtype)
+        base = fused_attention_block(
+            x, *params, num_heads=HEADS, interpret=args.interpret)
+        # qkv (6BNC^2) + proj (2BNC^2) + two attention dots (4BHN^2 d)
+        flops = 8 * batch * N * C_ * C_ + 4 * batch * HEADS * N * N * (C_ // HEADS)
+        print(f"\n== N={N} (B={batch}) ==")
+        rows = {}
+        for v in (0, 1, 2, 3):
+            if v == 0:
+                fn = lambda xx: fused_attention_block(
+                    xx, *params, num_heads=HEADS, interpret=args.interpret)
+            else:
+                fn = functools.partial(
+                    run_variant, v, num_heads=HEADS,
+                    interpret=args.interpret)
+                fn = (lambda vv: lambda xx: run_variant(
+                    vv, xx, *params, interpret=args.interpret))(v)
+            out = fn(x)
+            err = float(jnp.max(jnp.abs(
+                out.astype(jnp.float32) - base.astype(jnp.float32))))
+            if args.interpret:
+                print(f"v{v}: max|diff vs v0| = {err:.5f}")
+                continue
+            run = chained(fn, iters)
+            float(run(x))
+            best = float("inf")
+            for _ in range(args.repeats):
+                t0 = time.time()
+                float(run(x))
+                best = min(best, time.time() - t0)
+            t = best / iters
+            rows[v] = t
+            mfu = flops / t / PEAK_BF16
+            print(f"v{v}: {t * 1e3:7.3f} ms  MFU={mfu * 100:5.1f}%  "
+                  f"max|diff vs v0|={err:.5f}")
+        if rows:
+            bestv = min(rows, key=rows.get)
+            print(f"-> best: v{bestv} "
+                  f"({rows[0] / rows[bestv]:.3f}x vs shipped)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    sys.exit(main())

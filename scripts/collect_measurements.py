@@ -25,7 +25,9 @@ import os
 import re
 import sys
 
-_LOG_RE = re.compile(r"^(?P<entry>[a-z_]+)_(?P<stamp>\d{8}T\d{6}Z)\.log$")
+_LOG_RE = re.compile(
+    r"^(?P<entry>[a-z][a-z0-9_]*)_(?P<stamp>\d{8}T\d{6}Z)\.log$"
+)
 
 
 def parse_log(path: str) -> dict:

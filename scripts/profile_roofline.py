@@ -75,6 +75,11 @@ def _aggregate(path: str):
         if tnames.get((e.get("pid"), e.get("tid"))) != "XLA Ops":
             continue
         name = e["name"]
+        # scan-loop parent ops ("while.N") span every iteration and would
+        # double-count all their children (observed: +100% on the fwd
+        # graphs); exclude them from rows AND total
+        if name.split(".")[0] in ("while", "conditional"):
+            continue
         dur = float(e.get("dur", 0.0))
         rows[name] += dur
         counts[name] += 1
