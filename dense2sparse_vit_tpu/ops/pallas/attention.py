@@ -47,6 +47,8 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from dense2sparse_vit_tpu.ops.pallas._cost import safe_cost_estimate
 from jax.experimental.pallas import tpu as pltpu
 
 
@@ -236,7 +238,7 @@ def fused_attention_packed(
         ],
         out_specs=out_specs,
         out_shape=out_shape,
-        cost_estimate=pl.CostEstimate(
+        cost_estimate=safe_cost_estimate(
             flops=2 * 2 * B * num_heads * Np * Np * head_dim,
             bytes_accessed=4 * B * Np * hd * qkv.dtype.itemsize,
             transcendentals=B * num_heads * Np * Np,
@@ -619,7 +621,7 @@ def fused_attention_backward_packed(
                 dqkv_shape,
                 jax.ShapeDtypeStruct((B, 1, Np), jnp.float32),
             ),
-            cost_estimate=pl.CostEstimate(
+            cost_estimate=safe_cost_estimate(
                 flops=6 * 2 * B * num_heads * Np * Np * head_dim,
                 bytes_accessed=8 * B * Np * hd * qkv.dtype.itemsize,
                 transcendentals=B * num_heads * Np * Np,
@@ -654,7 +656,7 @@ def fused_attention_backward_packed(
         out_specs=pl.BlockSpec((nb, Np, three_hd), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=dqkv_shape,
-        cost_estimate=pl.CostEstimate(
+        cost_estimate=safe_cost_estimate(
             flops=5 * 2 * B * num_heads * Np * Np * head_dim,
             bytes_accessed=8 * B * Np * hd * qkv.dtype.itemsize,
             transcendentals=B * num_heads * Np * Np,
@@ -764,7 +766,8 @@ def fused_attention(
 
 def _attn_block_kernel(x_ref, pol_ref, wqkv_ref, cs_ref, b1p_ref, wproj_ref,
                        bproj_ref, out_ref, *cls_ref_opt, scale, eps, ln_eps,
-                       n_valid, num_heads, head_dim, use_policy, exact=False):
+                       n_valid, num_heads, head_dim, use_policy, exact=False,
+                       two_phase=False):
     """The whole pre-norm attention half-block in one VMEM pass.
 
     LN1 is folded into the qkv projection (scale into the kernel,
@@ -808,8 +811,10 @@ def _attn_block_kernel(x_ref, pol_ref, wqkv_ref, cs_ref, b1p_ref, wproj_ref,
          + b1p_ref[:].astype(jnp.float32)) * row_valid
     ).astype(x2.dtype).reshape(nb, n, 3 * hd)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (nb, n, n), 2)
-    pad_mask = col < n_valid
+    n_pad = n - n_valid
+    if use_policy or exact:
+        col = jax.lax.broadcasted_iota(jnp.int32, (nb, n, n), 2)
+        pad_mask = col < n_valid
     if use_policy:
         eye = (
             jax.lax.broadcasted_iota(jnp.int32, (nb, n, n), 1) == col
@@ -817,29 +822,38 @@ def _attn_block_kernel(x_ref, pol_ref, wqkv_ref, cs_ref, b1p_ref, wproj_ref,
         pol = pol_ref[:]  # (nb, 1, N)
         attn_policy = pol + (1.0 - pol) * eye
 
-    head_outs = []
-    for h in range(num_heads):
+    def _slices(h):
         o = h * head_dim
-        q = qkv[:, :, o:o + head_dim]
-        k = qkv[:, :, hd + o:hd + o + head_dim]
-        v = qkv[:, :, 2 * hd + o:2 * hd + o + head_dim]
-        s = jax.lax.dot_general(
+        return (qkv[:, :, o:o + head_dim],
+                qkv[:, :, hd + o:hd + o + head_dim],
+                qkv[:, :, 2 * hd + o:2 * hd + o + head_dim])
+
+    def _scores(q, k):
+        return jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale
+
+    def _exp(s, v_dtype):
         if use_policy:
             m = jnp.max(
                 jnp.where(pad_mask, s, -jnp.inf), axis=-1, keepdims=True
             )
-            e = (jnp.exp(s - m) * attn_policy).astype(v.dtype)
-        elif exact:
+            return (jnp.exp(s - m) * attn_policy).astype(v_dtype)
+        if exact:
             # trainable path: exact row-max softmax (see _attn_kernel)
             s = jnp.where(pad_mask, s, -jnp.inf)
             m = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s - m).astype(v.dtype)
-        else:
-            s = jnp.where(pad_mask, jnp.clip(s, -30.0, 30.0), -jnp.inf)
-            e = jnp.exp(s).astype(v.dtype)
+            return jnp.exp(s - m).astype(v_dtype)
+        # inference fast path, pad-free (measured +11% at N=208,
+        # scripts/attn_variants.py v1): padded k-rows are zeroed above, so
+        # their scores are exactly 0 and exp(0)=1 — the static pad count is
+        # subtracted from the denominator in _av below instead of building
+        # an (nb, N, N) iota mask and where()-ing every score. Exact same
+        # algebra as the masked form.
+        return jnp.exp(jnp.clip(s, -30.0, 30.0)).astype(v_dtype)
+
+    def _av(e, v, h):
         ones_cols = max(8, 128 - head_dim % 128) if head_dim % 128 else 8
         v_ext = jnp.concatenate(
             [v, jnp.ones((nb, n, ones_cols), v.dtype)], axis=2
@@ -858,7 +872,8 @@ def _attn_block_kernel(x_ref, pol_ref, wqkv_ref, cs_ref, b1p_ref, wproj_ref,
             )[:, :1]
             num = num + (eps / n_valid) * colsum_v
             den = den + eps
-        head_outs.append((num / den).astype(x2.dtype))
+        elif not exact and n_pad:
+            den = den - float(n_pad)  # exp(0)=1 per padded column
         if cls_ref is not None:
             e_cls = e[:, 0:1, :].astype(jnp.float32)
             if use_policy:
@@ -866,6 +881,25 @@ def _attn_block_kernel(x_ref, pol_ref, wqkv_ref, cs_ref, b1p_ref, wproj_ref,
             else:
                 p_cls = e_cls / den[:, 0:1]
             cls_ref[:, h:h + 1, :] = p_cls.astype(cls_ref.dtype)
+        return (num / den).astype(x2.dtype)
+
+    if two_phase and not (use_policy or exact):
+        # small-N schedule (measured +7-17% at Np <= 112,
+        # scripts/attn_variants.py v3): emit ALL QK^T dots, then all exp
+        # chains, then all AV dots — maximally independent MXU/VPU chains
+        # for Mosaic to overlap. At large N the staged fp32 score buffers
+        # add VMEM pressure and this loses; the host wrapper gates it on N.
+        ss = [_scores(*_slices(h)[:2]) for h in range(num_heads)]
+        es = [_exp(s, x2.dtype) for s in ss]
+        head_outs = [
+            _av(es[h], _slices(h)[2], h) for h in range(num_heads)
+        ]
+    else:
+        head_outs = []
+        for h in range(num_heads):
+            q, k, v = _slices(h)
+            e = _exp(_scores(q, k), v.dtype)
+            head_outs.append(_av(e, v, h))
 
     attn_out = jnp.concatenate(head_outs, axis=2).reshape(rows, hd)
     proj = jax.lax.dot_general(
@@ -945,6 +979,10 @@ def fused_attention_block(
         head_dim=head_dim,
         use_policy=use_policy,
         exact=exact,
+        # two-phase MXU/VPU schedule pays off only where the staged fp32
+        # score buffers fit comfortably in VMEM (measured crossover between
+        # Np=144 and Np=112, scripts/attn_variants.py)
+        two_phase=Np <= 112,
     )
     out_specs = pl.BlockSpec((nb, Np, C), lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -963,7 +1001,7 @@ def fused_attention_block(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        cost_estimate=pl.CostEstimate(
+        cost_estimate=safe_cost_estimate(
             flops=2 * B * Np * C * (3 * C + C)
             + 2 * 2 * B * num_heads * Np * Np * head_dim,
             bytes_accessed=2 * B * Np * C * jnp.dtype(dtype).itemsize,
@@ -1307,7 +1345,7 @@ def fused_attention_block_backward(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        cost_estimate=pl.CostEstimate(
+        cost_estimate=safe_cost_estimate(
             flops=6 * 2 * B * num_heads * Np * Np * head_dim
             + 6 * 2 * B * Np * C * 3 * C,
             bytes_accessed=4 * B * Np * C * jnp.dtype(dtype).itemsize,
@@ -1608,7 +1646,7 @@ def fused_attention_block_backward_policy(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        cost_estimate=pl.CostEstimate(
+        cost_estimate=safe_cost_estimate(
             flops=7 * 2 * B * num_heads * Np * Np * head_dim
             + 6 * 2 * B * Np * C * 3 * C,
             bytes_accessed=4 * B * Np * C * jnp.dtype(dtype).itemsize,

@@ -24,6 +24,8 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from dense2sparse_vit_tpu.ops.pallas._cost import safe_cost_estimate
 from jax.experimental.pallas import tpu as pltpu
 
 from dense2sparse_vit_tpu.ops.pallas.mlp import _gelu_grad
@@ -281,7 +283,7 @@ def fused_transformer_block(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        cost_estimate=pl.CostEstimate(
+        cost_estimate=safe_cost_estimate(
             flops=2 * B * Np * C * (4 * C + 2 * hidden)
             + 2 * 2 * B * num_heads * Np * Np * head_dim,
             bytes_accessed=2 * B * Np * C * jnp.dtype(dtype).itemsize,
@@ -819,7 +821,7 @@ def fused_transformer_block_backward(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        cost_estimate=pl.CostEstimate(
+        cost_estimate=safe_cost_estimate(
             flops=8 * 2 * B * num_heads * Np * Np * head_dim
             + 2 * B * Np * C * (6 * C + 6 * hidden),
             bytes_accessed=4 * B * Np * C * jnp.dtype(dtype).itemsize,

@@ -26,6 +26,8 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from dense2sparse_vit_tpu.ops.pallas._cost import safe_cost_estimate
 from jax.experimental.pallas import tpu as pltpu
 
 
@@ -102,7 +104,7 @@ def _pallas_gather(x, idx, *, block_batch, interpret, kernel_fn, out_rows):
         out_specs=pl.BlockSpec((nb, orp, D), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, orp, D), x.dtype),
-        cost_estimate=pl.CostEstimate(
+        cost_estimate=safe_cost_estimate(
             flops=2 * B * kp * np_ * D,
             bytes_accessed=B * (np_ + orp) * D * x.dtype.itemsize,
             transcendentals=0,

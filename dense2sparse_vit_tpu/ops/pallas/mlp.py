@@ -28,6 +28,8 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from dense2sparse_vit_tpu.ops.pallas._cost import safe_cost_estimate
 from jax.experimental.pallas import tpu as pltpu
 
 from dense2sparse_vit_tpu.ops.pallas.predictor import _gelu_exact
@@ -136,7 +138,7 @@ def fused_mlp_residual(
         out_specs=pl.BlockSpec((nb, Np, C), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Np, C), dtype),
-        cost_estimate=pl.CostEstimate(
+        cost_estimate=safe_cost_estimate(
             flops=4 * B * Np * C * hidden,
             bytes_accessed=2 * B * Np * C * jnp.dtype(dtype).itemsize,
             transcendentals=B * Np * hidden,
@@ -375,7 +377,7 @@ def fused_mlp_residual_backward(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        cost_estimate=pl.CostEstimate(
+        cost_estimate=safe_cost_estimate(
             flops=12 * B * Np * C * hidden,
             bytes_accessed=4 * B * Np * C * jnp.dtype(dtype).itemsize,
             transcendentals=2 * B * Np * hidden,

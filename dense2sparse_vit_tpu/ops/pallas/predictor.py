@@ -38,6 +38,8 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from dense2sparse_vit_tpu.ops.pallas._cost import safe_cost_estimate
 from jax.experimental.pallas import tpu as pltpu
 
 
@@ -350,7 +352,7 @@ def fused_predictor_lg(
         out_specs=pl.BlockSpec((1, 1, nb * Np), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B // nb, 1, nb * Np), dtype),
-        cost_estimate=pl.CostEstimate(
+        cost_estimate=safe_cost_estimate(
             flops=flops,
             bytes_accessed=B * Np * D * jnp.dtype(dtype).itemsize,
             transcendentals=0,

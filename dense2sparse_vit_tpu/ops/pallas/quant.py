@@ -33,6 +33,8 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from dense2sparse_vit_tpu.ops.pallas._cost import safe_cost_estimate
 from jax.experimental.pallas import tpu as pltpu
 
 from dense2sparse_vit_tpu.ops.pallas.predictor import _gelu_exact
@@ -238,7 +240,7 @@ def fused_transformer_block_int8(
         out_specs=pl.BlockSpec((nb, Np, C), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Np, C), dtype),
-        cost_estimate=pl.CostEstimate(
+        cost_estimate=safe_cost_estimate(
             flops=2 * B * Np * C * (4 * C + 2 * hidden)
             + 2 * 2 * B * num_heads * Np * Np * head_dim,
             bytes_accessed=2 * B * Np * C * jnp.dtype(dtype).itemsize,

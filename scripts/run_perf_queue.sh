@@ -47,11 +47,15 @@ wait_for_tunnel() {
 }
 
 have_result() {
-    # rc=0 log for this entry at the current HEAD?
+    # rc=0 log for this entry at the current HEAD, holding a real number?
+    # (bench.py exits 0 even for its structured {"value": null, "error":..}
+    # outage line — that is a guaranteed-JSON artifact, not a measurement,
+    # and must NOT mark the entry as captured)
     for f in "$OUT"/"$1"_*.log; do
         [ -e "$f" ] || return 1
         if grep -q "^head=$HEAD\$" "$f" 2>/dev/null \
-            && grep -q "^rc=0\$" "$f" 2>/dev/null; then
+            && grep -q "^rc=0\$" "$f" 2>/dev/null \
+            && ! grep -q '"value": *null' "$f" 2>/dev/null; then
             return 0
         fi
     done
