@@ -185,7 +185,9 @@ def main():
         )
 
     rows = {}
-    for mode in ("topk", "threshold", "gumbel"):
+    sweep = {}
+
+    def measure_mode(mode):
         t_fused, _ = run(True, mode)
         t_ref, _ = run(False, mode)
         rows[mode] = {
@@ -194,16 +196,23 @@ def main():
             "fused_img_per_s": round(B / t_fused, 1),
             "speedup": round(t_ref / t_fused, 3),
         }
-        emit(rows, {})
+        emit(rows, sweep)
+
+    # headline (topk fused + the unfused denominator) FIRST, then the
+    # cached-teacher rows the round target is judged on, then the slower
+    # exotic modes and the batch sweep — a deadline kill mid-run keeps the
+    # rows that matter (the bench.py lesson, VERDICT r4 weak #1)
+    measure_mode("topk")
 
     # batch-scaling sweep on the flagship fused config: img/s AND TFLOP/s
     # (XLA cost-analysis FLOPs / measured step time); B=128x4 is the
     # grad-accum comparison — same effective batch as B=512, quarter memory
-    sweep = {}
-    for batch, accum, cached in (
-        (128, 1, False), (256, 1, False), (512, 1, False), (128, 4, False),
-        (128, 1, True), (256, 1, True),
-    ):
+    sweep_plan = [
+        (256, 1, True), (128, 1, True),  # target rows first
+        (256, 1, False), (512, 1, False), (128, 4, False), (128, 1, False),
+    ]
+
+    def measure_sweep(batch, accum, cached):
         name = f"B{batch}" + (f"x{accum}" if accum > 1 else "")
         if cached:
             name += "_cached_teacher"
@@ -214,13 +223,20 @@ def main():
             )
         except Exception as e:  # e.g. HBM OOM at large B
             sweep[name] = {"error": str(e).split("\n")[0][:160]}
-            continue
+            return
         sweep[name] = {
             "ms_per_step": round(t * 1e3, 1),
             "img_per_s": round(batch / t, 1),
             "tflops_per_s": round((fl or 0) / t / 1e12, 1),
         }
         emit(rows, sweep)
+
+    measure_sweep(*sweep_plan[0])
+    measure_sweep(*sweep_plan[1])
+    measure_mode("threshold")
+    measure_mode("gumbel")
+    for entry in sweep_plan[2:]:
+        measure_sweep(*entry)
 
 
 if __name__ == "__main__":
