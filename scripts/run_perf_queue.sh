@@ -19,7 +19,14 @@ set -u
 cd "$(dirname "$0")/.."
 OUT=${D2S_QUEUE_OUT:-bench_results/r5}
 mkdir -p "$OUT"
-HEAD=$(git rev-parse --short HEAD)
+# key captures on the last commit that touched the MEASURED code — docs/
+# test-only commits must not invalidate an on-chip number (re-measuring
+# after a README edit wastes a scarce tunnel window)
+HEAD=$(git log -1 --format=%h -- \
+    dense2sparse_vit_tpu bench.py bench_train.py bench_zoo.py \
+    bench_serve.py scripts/e2e_epoch.py scripts/profile_roofline.py \
+    __graft_entry__.py)
+HEAD=${HEAD:-$(git rev-parse --short HEAD)}
 STAMP=$(date -u +%Y%m%dT%H%M%SZ)
 # total probe-wait budget across the whole queue run (seconds)
 PROBE_BUDGET=${D2S_QUEUE_PROBE_BUDGET:-1800}
