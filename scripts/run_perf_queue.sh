@@ -86,9 +86,20 @@ run() {
 }
 
 # bench.py's own probe/retry budget must fit INSIDE its outer timeout, or a
-# mid-run relay hang kills it before the guaranteed JSON line
-export D2S_BENCH_PROBE_TIMEOUT=90 D2S_BENCH_RUN_TIMEOUT=600
+# mid-run relay hang kills it before the guaranteed JSON line. The queue
+# grants a LARGER deadline than the driver's default 420s: a queue pass is
+# where the compile cache gets warmed for new kernel code (cold compiles of
+# four configs can exceed 420s on this 1-core box), so that the driver's
+# plain `python bench.py` later runs warm and fits easily.
+export D2S_BENCH_PROBE_TIMEOUT=90 D2S_BENCH_RUN_TIMEOUT=1200
+export D2S_BENCH_DEADLINE=1380
 run bench        1500 python bench.py
+# after a successful capture the cache is warm — prove the driver's exact
+# invocation (default 420s deadline) also lands a number
+if have_result bench && ! have_result bench_warm; then
+    run bench_warm 600 env -u D2S_BENCH_DEADLINE -u D2S_BENCH_RUN_TIMEOUT \
+        python bench.py
+fi
 run bench_train  1800 python bench_train.py
 run e2e_epoch    1800 python scripts/e2e_epoch.py
 run roofline     1800 python scripts/profile_roofline.py

@@ -350,7 +350,11 @@ class TestFusedAttentionBlock:
         bproj = 0.1 * jax.random.normal(ks[6], (c,))
         return x, ln_s, ln_b, wqkv, bqkv, wproj, bproj
 
-    @pytest.mark.parametrize("n", [16, 13])  # aligned and padded
+    # 16/13: aligned + padded on the two-phase (Np<=112) schedule;
+    # 128/117: aligned + padded on the sequential large-N schedule, which
+    # exercises the pad-free denominator (exp(0)=1 static subtraction)
+    # without the two-phase staging
+    @pytest.mark.parametrize("n", [16, 13, 128, 117])
     def test_plain_matches_reference(self, n):
         import dense2sparse_vit_tpu.ops.pallas.attention as A
 
