@@ -198,7 +198,19 @@ def main(argv=None):
     ap.add_argument("--interpret", action="store_true")
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--stages", default="",
+                    help="comma-separated N values (default: all four)")
+    ap.add_argument("--variants", default="0,1,2,3",
+                    help="comma-separated variant ids to run")
     args = ap.parse_args(argv)
+
+    # the relay hangs (not errors) on outage and compiles are minutes-slow
+    # through the tunnel; the persistent cache makes every retry of a killed
+    # run start from where the last one died
+    from dense2sparse_vit_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+    enable_compilation_cache()
 
     from dense2sparse_vit_tpu.ops.pallas.attention import (
         fused_attention_block,
@@ -217,6 +229,9 @@ def main(argv=None):
     params = (ln_scale, ln_bias, wqkv, bqkv, wproj, bproj)
 
     stage_ns = (197, 138, 97, 68) if not args.interpret else (20,)
+    if args.stages:
+        stage_ns = tuple(int(s) for s in args.stages.split(","))
+    variant_ids = tuple(int(s) for s in args.variants.split(","))
     batch = B if not args.interpret else 4
     iters = args.iters if not args.interpret else 1
 
@@ -225,11 +240,12 @@ def main(argv=None):
              ).astype(dtype)
         base = fused_attention_block(
             x, *params, num_heads=HEADS, interpret=args.interpret)
+        print(f"base ready N={N}", flush=True)
         # qkv (6BNC^2) + proj (2BNC^2) + two attention dots (4BHN^2 d)
         flops = 8 * batch * N * C_ * C_ + 4 * batch * HEADS * N * N * (C_ // HEADS)
-        print(f"\n== N={N} (B={batch}) ==")
+        print(f"\n== N={N} (B={batch}) ==", flush=True)
         rows = {}
-        for v in (0, 1, 2, 3):
+        for v in variant_ids:
             if v == 0:
                 fn = lambda xx: fused_attention_block(
                     xx, *params, num_heads=HEADS, interpret=args.interpret)
@@ -245,6 +261,8 @@ def main(argv=None):
             if args.interpret:
                 print(f"v{v}: max|diff vs v0| = {err:.5f}")
                 continue
+            print(f"v{v}: numerics checked (err={err:.5f}); timing...",
+                  flush=True)
             run = chained(fn, iters)
             float(run(x))
             best = float("inf")
@@ -255,12 +273,14 @@ def main(argv=None):
             t = best / iters
             rows[v] = t
             mfu = flops / t / PEAK_BF16
-            print(f"v{v}: {t * 1e3:7.3f} ms  MFU={mfu * 100:5.1f}%  "
-                  f"max|diff vs v0|={err:.5f}")
+            print(f"RESULT N={N} v{v}: {t * 1e3:7.3f} ms  "
+                  f"MFU={mfu * 100:5.1f}%  max|diff vs v0|={err:.5f}",
+                  flush=True)
         if rows:
             bestv = min(rows, key=rows.get)
-            print(f"-> best: v{bestv} "
-                  f"({rows[0] / rows[bestv]:.3f}x vs shipped)")
+            ref = rows.get(0)
+            vs = f" ({ref / rows[bestv]:.3f}x vs shipped)" if ref else ""
+            print(f"-> best at N={N}: v{bestv}{vs}", flush=True)
     return 0
 
 

@@ -401,6 +401,7 @@ class TestBNPredictorTrajectoryParity:
     (dynamic_vit.py:350-367) over a real multi-step optimization trajectory.
     """
 
+    @pytest.mark.slow
     def test_three_sgd_steps_params_and_running_stats(
         self, ref, ref_losses, batch
     ):
@@ -464,6 +465,7 @@ class TestPerturbedTopKParity:
     tensor both passes must agree to fp32 tolerance.
     """
 
+    @pytest.mark.slow
     def test_forward_and_backward_match_reference(self, ref):
         import types
 

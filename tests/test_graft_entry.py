@@ -16,6 +16,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -90,6 +92,7 @@ def test_parent_reexec_decision_is_env_only():
     assert "ENVOK" in r.stdout
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_end_to_end():
     """Full dryrun_multichip(8) through the real guard + body (~60-90s).
 

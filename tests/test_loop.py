@@ -16,6 +16,8 @@ from dense2sparse_vit_tpu.core.config import (
 )
 from dense2sparse_vit_tpu.train.loop import run_experiment
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def data_dir(tmp_path_factory):

@@ -14,6 +14,10 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
+
+
+pytestmark = pytest.mark.slow
 
 
 def test_two_process_train_step_matches_single_process():

@@ -100,6 +100,7 @@ class TestSaveLoad:
 
 
 class TestDriverExport:
+    @pytest.mark.slow
     def test_cli_train_then_export_serving(self, tmp_path):
         """2-step training run via run_experiment with export_serving: the
         saved artifact dir serves any batch with no model build."""

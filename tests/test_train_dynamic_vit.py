@@ -75,6 +75,7 @@ def _cfg(data_dir, **train_kw):
 
 
 class TestRunExperimentGumbel:
+    @pytest.mark.slow
     def test_two_epoch_smoke(self, data_dir, tmp_path):
         summary = run_experiment(
             _cfg(data_dir), str(tmp_path), max_steps_per_epoch=2
@@ -90,6 +91,7 @@ class TestRunExperimentGumbel:
         assert any("val/unpruned_acc" in l for l in lines)
         assert os.listdir(tmp_path / "ckpt")
 
+    @pytest.mark.slow
     def test_cli_two_epoch_gumbel_run(self, data_dir, tmp_path):
         """VERDICT round-3 'done' criterion: a 2-epoch gumbel training run
         via the library CLI."""
@@ -272,6 +274,7 @@ class TestGumbelOptimizerNoWarmupFreeze:
         assert frozen == 0.0  # diff-pruning warmup: backbone frozen
         assert joint > 0.0    # gumbel baseline: trains from step 0
 
+    @pytest.mark.slow
     def test_run_experiment_uses_joint_optimizer(self, data_dir, tmp_path):
         """Through the driver: with warmup_epochs>0 the gumbel run still
         updates backbone params in epoch 0."""
