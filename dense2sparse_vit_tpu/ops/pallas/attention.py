@@ -70,9 +70,15 @@ def _attn_kernel(qkv_ref, policy_ref, out_ref, *cls_ref_opt, scale, eps,
     nb, n, _ = qkv_ref.shape
     hd = num_heads * head_dim
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (nb, n, n), 2)
-    pad_mask = col < n_valid  # (nb, n, n)
+    # non-policy paths are pad-FREE: padded k-rows are zero (the wrapper
+    # zero-pads qkv), so padded columns carry s = 0 exactly and their
+    # statically-known denominator contribution is subtracted after the
+    # PV matmul instead of building an (nb, n, n) iota/where mask. Only
+    # the policy path (eps/N smoothing breaks shift invariance) masks.
+    n_pad = n - n_valid
     if use_policy:
+        col = jax.lax.broadcasted_iota(jnp.int32, (nb, n, n), 2)
+        pad_mask = col < n_valid  # (nb, n, n)
         eye = (
             jax.lax.broadcasted_iota(jnp.int32, (nb, n, n), 1) == col
         ).astype(jnp.float32)
@@ -101,11 +107,11 @@ def _attn_kernel(qkv_ref, policy_ref, out_ref, *cls_ref_opt, scale, eps,
             )
             e = (jnp.exp(s - m) * attn_policy).astype(v.dtype)
         elif exact:
-            # trainable path: true valid-column row-max subtraction —
-            # softmax is shift-invariant, so the standard softmax VJP in
-            # the backward kernels is exact for ANY logit range (the
-            # clamp below silently deviates beyond |logit| > 30)
-            s = jnp.where(pad_mask, s, -jnp.inf)
+            # trainable path: row-max subtraction over ALL columns —
+            # padded columns carry s = 0, so this max is max(valid_max, 0),
+            # an equally valid stabilizer (softmax is shift-invariant; the
+            # standard softmax VJP in the backward kernels stays exact);
+            # their e = exp(-m) is removed from the denominator below
             m = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - m).astype(v.dtype)
         else:
@@ -114,9 +120,9 @@ def _attn_kernel(qkv_ref, policy_ref, out_ref, *cls_ref_opt, scale, eps,
             # range clamp (exact softmax whenever |logit| <= 30, which
             # holds for trained ViTs; prevents fp32 overflow otherwise)
             # and (2) fold the row-sum into the PV matmul below via an
-            # appended ones column.
-            s = jnp.where(pad_mask, jnp.clip(s, -30.0, 30.0), -jnp.inf)
-            e = jnp.exp(s).astype(v.dtype)
+            # appended ones column. Padded columns carry s = 0 -> e = 1,
+            # removed from the denominator below.
+            e = jnp.exp(jnp.clip(s, -30.0, 30.0)).astype(v.dtype)
         # PV and the softmax denominator in ONE matmul: E @ [V | 1];
         # pad the ones block so head_dim + ones_cols fills a 128-lane
         # MXU tile exactly (no extra tile => the rowsum is free)
@@ -141,6 +147,16 @@ def _attn_kernel(qkv_ref, policy_ref, out_ref, *cls_ref_opt, scale, eps,
             )[:, :1]  # (nb, 1, d)
             num = num + (eps / n_valid) * colsum_v
             den = den + eps
+        elif n_pad:
+            # remove the padded columns' contribution: the MXU summed the
+            # MODEL-dtype-quantized e values, so subtract exactly those
+            # (exp(-m) round-tripped through v.dtype / 1.0 on the clamp
+            # path). num needs no correction: padded v-rows are zero.
+            if exact:
+                den = den - n_pad * jnp.exp(-m).astype(v.dtype).astype(
+                    jnp.float32)
+            else:
+                den = den - float(n_pad)
         out_ref[:, :, o:o + head_dim] = (num / den).astype(out_ref.dtype)
         if cls_ref is not None:
             # CLS attention row: p[0, :] = (e[0, :] (+ eps/N)) / den[0]

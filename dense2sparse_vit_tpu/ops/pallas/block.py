@@ -79,9 +79,15 @@ def _block_kernel(x_ref, pol_ref, sa_ref, sm_ref, wqkv_ref, csq_ref,
         x2, wqkv_ref[:], csq_ref[:], bqp_ref[:]
     ) * row_valid).astype(dtype).reshape(nb, n, 3 * hd)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (nb, n, n), 2)
-    pad_mask = col < n_valid
+    # pad handling is pad-FREE on the non-policy paths: the padded k-rows
+    # are zeroed above, so padded columns carry s = 0 exactly and their
+    # (statically known) denominator contribution is subtracted after the
+    # PV matmul — no (nb, n, n) iota/where built. Only the policy path
+    # (eps/N smoothing breaks shift invariance) keeps the explicit mask.
+    n_pad = n - n_valid
     if use_policy:
+        col = jax.lax.broadcasted_iota(jnp.int32, (nb, n, n), 2)
+        pad_mask = col < n_valid
         eye = (
             jax.lax.broadcasted_iota(jnp.int32, (nb, n, n), 1) == col
         ).astype(jnp.float32)
@@ -103,13 +109,16 @@ def _block_kernel(x_ref, pol_ref, sa_ref, sm_ref, wqkv_ref, csq_ref,
             )
             e = (jnp.exp(s - m) * attn_policy).astype(v.dtype)
         elif exact:
-            # trainable path: exact row-max softmax (see _attn_kernel)
-            s = jnp.where(pad_mask, s, -jnp.inf)
+            # trainable path: exact row-max softmax over ALL columns —
+            # padded columns carry s = 0, so this max is max(valid_max, 0),
+            # an equally valid stabilizer (softmax is shift-invariant);
+            # their e = exp(-m) is removed from the denominator below
             m = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - m).astype(v.dtype)
         else:
-            s = jnp.where(pad_mask, jnp.clip(s, -30.0, 30.0), -jnp.inf)
-            e = jnp.exp(s).astype(v.dtype)
+            # inference fast path: clamp replaces the row-max shift;
+            # padded columns carry s = 0 -> e = 1, removed from den below
+            e = jnp.exp(jnp.clip(s, -30.0, 30.0)).astype(v.dtype)
         ones_cols = max(8, 128 - head_dim % 128) if head_dim % 128 else 8
         v_ext = jnp.concatenate(
             [v, jnp.ones((nb, n, ones_cols), v.dtype)], axis=2
@@ -128,6 +137,16 @@ def _block_kernel(x_ref, pol_ref, sa_ref, sm_ref, wqkv_ref, csq_ref,
             )[:, :1]
             num = num + (eps / n_valid) * colsum_v
             den = den + eps
+        elif n_pad:
+            # remove the padded columns' contribution: the MXU summed the
+            # MODEL-dtype-quantized e values, so subtract exactly those
+            # (exp(-m) round-tripped through v.dtype / 1.0 on the clamp
+            # path). num needs no correction: padded v-rows are zero.
+            if exact:
+                den = den - n_pad * jnp.exp(-m).astype(v.dtype).astype(
+                    jnp.float32)
+            else:
+                den = den - float(n_pad)
         head_outs.append((num / den).astype(dtype))
         if cls_ref is not None:
             e_cls = e[:, 0:1, :].astype(jnp.float32)
@@ -434,8 +453,10 @@ def _block_bwd_kernel(x_ref, pol_ref, sa_ref, sm_ref, g_ref, lns1_ref,
 
     tok = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % np_
     valid = (tok < n_valid).astype(jnp.float32)
-    col3 = jax.lax.broadcasted_iota(jnp.int32, (nb, n, n), 2)
-    pad_mask = col3 < n_valid
+    # non-policy paths are pad-free (see _block_kernel): no (nb, n, n)
+    # iota mask; the padded columns' exp(-m) is subtracted from den and
+    # the padded dqkv rows are re-zeroed via the cheap per-row `valid`
+    n_pad = n - n_valid
     # per-sample DropPath branch scales (1.0 when inactive — exact)
     sarow = (
         sa_ref[:].astype(jnp.float32)
@@ -462,6 +483,8 @@ def _block_bwd_kernel(x_ref, pol_ref, sa_ref, sm_ref, g_ref, lns1_ref,
 
     if use_policy:
         row3 = jax.lax.broadcasted_iota(jnp.int32, (nb, n, n), 1)
+        col3 = jax.lax.broadcasted_iota(jnp.int32, (nb, n, n), 2)
+        pad_mask = col3 < n_valid
         eye = (row3 == col3).astype(jnp.float32)
         off_diag = 1.0 - eye
         pad_f = pad_mask.astype(jnp.float32)
@@ -480,7 +503,8 @@ def _block_bwd_kernel(x_ref, pol_ref, sa_ref, sm_ref, g_ref, lns1_ref,
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale
-        s = jnp.where(pad_mask, s, -jnp.inf)
+        if use_policy:
+            s = jnp.where(pad_mask, s, -jnp.inf)
         m = jnp.max(s, axis=-1, keepdims=True)
         xe = jnp.exp(s - m)
         e = xe * attn_policy if use_policy else xe
@@ -492,6 +516,12 @@ def _block_bwd_kernel(x_ref, pol_ref, sa_ref, sm_ref, g_ref, lns1_ref,
             den = den + eps
             p = (e + cc * pad_f) / den
         else:
+            # pad-free: padded columns carry s = 0 (zeroed k-rows), so the
+            # all-columns max is an equally valid stabilizer and their
+            # exp(-m) den contribution is statically removable (fp32 here:
+            # e never round-trips through the model dtype in this kernel)
+            if n_pad:
+                den = den - n_pad * jnp.exp(-m)
             p = e / (den + 1e-30)
         att_heads.append(jax.lax.dot_general(
             p.astype(dtype), v, (((2,), (1,)), ((0,), (0,))),
@@ -617,9 +647,14 @@ def _block_bwd_kernel(x_ref, pol_ref, sa_ref, sm_ref, g_ref, lns1_ref,
     else:
         dpol_ref[:] = jnp.zeros_like(dpol_ref)
 
-    dqkv = jnp.concatenate(
+    # re-zero padded token rows: pad-free softmax leaves p/ds nonzero in
+    # padded COLUMNS, which lands in dk/dv's padded ROWS — without this
+    # mask those rows would contaminate dwqkv/dbqkv through ln1_out's
+    # (nonzero) padded rows. One (rows, 1) multiply vs the (nb, n, n)
+    # masks removed above.
+    dqkv = (jnp.concatenate(
         dq_heads + dk_heads + dv_heads, axis=2
-    ).reshape(rows, 3 * hd).astype(dtype)
+    ).reshape(rows, 3 * hd) * valid).astype(dtype)
 
     dln1_out = jax.lax.dot_general(
         dqkv, wqkv, (((1,), (1,)), ((), ())),

@@ -26,7 +26,7 @@ Groups (same labeling as optimizer.py::label_params):
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +51,25 @@ class FlatAdamWState(NamedTuple):
     mu: jnp.ndarray  # first moment, flat
     nu: jnp.ndarray  # second moment, flat
     group_id: jnp.ndarray  # int8 per-element group, flat
+
+
+class FlatGradientTransformation(NamedTuple):
+    """optax.GradientTransformation plus a flat-space fused apply.
+
+    `update` keeps the optax contract (returns an updates PYTREE) for
+    composability and the equivalence tests. `apply_to_params` skips the
+    per-leaf unravel-then-add round trip: the parameter step happens as ONE
+    elementwise add on the raveled vector and the result is unraveled once —
+    ~150 fewer per-leaf add fusions per train step on DeiT-S (a measured
+    part of the step's glue tail; see scripts/profile_train256.py). The
+    update is bit-identical: ravel/unravel are pure layout ops and the add
+    is elementwise, so per-leaf `p + step` == unravel(`p_flat + step_flat`).
+    """
+
+    init: Callable[..., Any]
+    update: Callable[..., Any]
+    apply_to_params: Callable[..., Any]  # (grads, state, params) ->
+    #                                      (new_params, new_state)
 
 
 def make_flat_optimizer(
@@ -86,7 +105,8 @@ def make_flat_optimizer(
             group_id=group_vector(params),
         )
 
-    def update(grads, state: FlatAdamWState, params):
+    def _flat_step(grads, state: FlatAdamWState, params):
+        """Shared core: returns (step_vec, p_flat, unravel, new_state)."""
         if params is None:
             raise ValueError("flat AdamW requires params (weight decay)")
         g, _ = ravel_pytree(grads)
@@ -118,11 +138,23 @@ def make_flat_optimizer(
         ).astype(jnp.float32)
 
         step_vec = -(lr * (mu_hat / (jnp.sqrt(nu_hat) + eps) + wd * p))
-        return unravel(step_vec), FlatAdamWState(
+        return step_vec, p, unravel, FlatAdamWState(
             count=count, mu=mu, nu=nu, group_id=gid
         )
 
-    tx = optax.GradientTransformation(init, update)
+    def update(grads, state: FlatAdamWState, params):
+        step_vec, _, unravel, new_state = _flat_step(grads, state, params)
+        return unravel(step_vec), new_state
+
+    def apply_to_params(grads, state: FlatAdamWState, params):
+        step_vec, p, unravel, new_state = _flat_step(grads, state, params)
+        return unravel(p + step_vec), new_state
+
     if cfg.grad_accum_steps > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
-    return tx
+        # MultiSteps composes over the optax contract only; the flat-apply
+        # fast path is a single-step optimization and falls away here
+        return optax.MultiSteps(
+            optax.GradientTransformation(init, update),
+            every_k_schedule=cfg.grad_accum_steps,
+        )
+    return FlatGradientTransformation(init, update, apply_to_params)

@@ -101,7 +101,23 @@ def _teacher_outputs(teacher, teacher_in, images, cached_teacher) -> dict:
 
 
 def _optimizer_step(tx, state: TrainState, grads, new_stats) -> TrainState:
-    """AdamW update + TrainState advance shared by both step builders."""
+    """AdamW update + TrainState advance shared by both step builders.
+
+    The flat AdamW (train/flat_optimizer.py) exposes apply_to_params: the
+    parameter step happens as one add on the raveled vector instead of
+    ~150 per-leaf update+add fusions — bit-identical, measurably less
+    glue (scripts/profile_train256.py)."""
+    fast_apply = getattr(tx, "apply_to_params", None)
+    if fast_apply is not None:
+        new_params, new_opt_state = fast_apply(
+            grads, state.opt_state, state.params
+        )
+        return TrainState(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            batch_stats=new_stats,
+        )
     updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     return TrainState(

@@ -122,3 +122,34 @@ def test_jitted_update_and_state_checkpointable():
     assert int(s2.count) == 2
     leaves = jax.tree_util.tree_leaves((p2, s2))
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_apply_to_params_bit_identical_to_update_path():
+    """The fused flat-space apply (one add on the raveled vector, then one
+    unravel) must be BIT-identical to update + optax.apply_updates — it is
+    the same elementwise add reassociated through pure layout ops."""
+    cfg = TrainConfig(warmup_epochs=1, epochs=4)
+    tx = make_flat_optimizer(cfg, steps_per_epoch=2)
+    params_a = params_b = _tree()
+    state_a = state_b = tx.init(params_a)
+    for i in range(5):
+        grads = jax.tree.map(
+            lambda p, k=i: 0.1 * jnp.sin(p * (k + 1)) + 0.01 * p, params_a
+        )
+        updates, state_a = tx.update(grads, state_a, params_a)
+        params_a = optax.apply_updates(params_a, updates)
+        params_b, state_b = tx.apply_to_params(grads, state_b, params_b)
+        _assert_equal_trees(params_a, params_b, atol=0)
+    _assert_equal_trees(
+        {"mu": state_a.mu, "nu": state_a.nu},
+        {"mu": state_b.mu, "nu": state_b.nu},
+        atol=0,
+    )
+
+
+def test_grad_accum_falls_back_to_optax_contract():
+    """MultiSteps-wrapped flat optimizer exposes no apply_to_params; the
+    train step's getattr fast path must fall back cleanly."""
+    cfg = TrainConfig(warmup_epochs=0, epochs=4, grad_accum_steps=2)
+    tx = make_flat_optimizer(cfg, steps_per_epoch=2)
+    assert getattr(tx, "apply_to_params", None) is None
